@@ -1,0 +1,26 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Sharding/collective code paths are exercised on host CPU devices; the real
+TPU chip is reserved for bench.py.
+
+The container boots every interpreter with an axon TPU backend registered via
+sitecustomize (JAX_PLATFORMS=axon, PALLAS_AXON_POOL_IPS set), which would run
+unit tests over a slow device tunnel.  sitecustomize runs before conftest, so
+the only reliable fix is to re-exec the test process once with a scrubbed
+environment.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

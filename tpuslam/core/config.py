@@ -1,0 +1,191 @@
+"""Typed configuration — the single home of every reference knob.
+
+Replaces the reference's two-tier config (OpenCV YAML read in ctors,
+Tracking.cc:61-146, plus the global mutable flag namespace
+Parameters.h:29-80 / Parameters.cc:34-78).  All load-bearing thresholds are
+carried verbatim with reference citations; SURVEY.md §7.3 calls them out as
+ATE-critical.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class OrbConfig:
+    """ORB extractor settings (reference: ORBextractor.cc ctor + ICL.yaml)."""
+
+    n_features: int = 1000
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: int = 20  # ORBextractor.cc threshold fallback 20 -> 7
+    min_th_fast: int = 7
+    cell_size: int = 30  # per-level FAST cell (ComputeKeyPointsOctTree)
+    edge_threshold: int = 19  # border margin for descriptors
+    patch_size: int = 31
+
+
+@dataclass(frozen=True)
+class MatcherConfig:
+    """ORB matcher constants (reference: ORBmatcher.cc:37-39 and call sites)."""
+
+    th_low: int = 50
+    th_high: int = 100
+    hist_length: int = 30  # rotation-consistency histogram bins
+    nn_ratio_track: float = 0.9  # TrackWithMotionModel (Tracking.cc:1108)
+    nn_ratio_bow: float = 0.7  # TrackReferenceKeyFrame (Tracking.cc:997)
+    nn_ratio_init: float = 0.9  # SearchForInitialization (Tracking.cc:726)
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    """Front-end thresholds (reference: Tracking.cc)."""
+
+    min_init_matches: int = 100  # monocular init (Tracking.cc:755)
+    min_track_motion: int = 20  # TrackWithMotionModel accept (Tracking.cc:1152)
+    min_track_ref: int = 10  # TrackReferenceKeyFrame / map accept
+    min_track_localmap: int = 30  # TrackLocalMap accept (Tracking.cc:1199)
+    max_local_keyframes: int = 80  # local map KF cap (Tracking.cc:1607)
+    search_radius_motion: float = 15.0  # th for SearchByProjection, mono
+    min_frames_between_kf: int = 0
+    max_frames_between_kf: int = 30  # == fps
+    reloc_min_inliers: int = 50  # Relocalization accept (Tracking.cc:1805)
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    """Optimizer thresholds (reference: Optimizer.cc + Parameters.cc:55-75)."""
+
+    chi2_mono: float = 5.991  # Optimizer.cc thHuberMono^2
+    chi2_stereo: float = 7.815
+    pose_opt_rounds: int = 4  # PoseOptimization (Optimizer.cc:370-450)
+    pose_opt_iters: int = 10
+    local_ba_iters_phase1: int = 5  # LocalBundleAdjustment (Optimizer.cc:700+)
+    local_ba_iters_phase2: int = 10
+    global_ba_iters: int = 10  # RunGlobalBundleAdjustment (LoopClosing.cc:650)
+
+    # Heterogeneous BA weights — Parameters.cc:55-75
+    ba_weight_bbox: float = 1.0
+    ba_weight_corner: float = 1.0
+    ba_weight_se3: float = 1.0
+    ba_weight_pt_obj: float = 1.0
+    th_huber_bbox_2d: float = 80.0  # chi2; Huber delta is sqrt of this
+    th_huber_corner_2d: float = 10.0
+    th_huber_se3: float = 900.0
+    th_huber_pt_obj: float = 10.0
+
+    # Plane information matrices — Optimizer.cc:2195-2206:
+    #   angleInfo = 3282.8 / sigma_angle^2 ; disInfo = sigma_dist^2
+    plane_angle_info: float = 1.0
+    plane_dist_info: float = 100.0
+    plane_chi: float = 500.0
+    plane_par_sigma: float = 0.5  # parInfo = 3282.8 / 0.5^2 (Optimizer.cc:2199)
+    plane_ver_sigma: float = 0.5
+    plane_vp_chi: float = 200.0  # VPplaneChi (Optimizer.cc:2206)
+    cuboid_plane_angle_info: float = 2.0
+    cuboid_plane_dist_info: float = 100.0
+    cuboid_plane_chi: float = 500.0
+
+    # Point-in-cuboid factor (Optimizer.cc:2556-2655, g2o_cuboid.cc:132-160)
+    max_outside_margin_ratio: float = 1.0
+    cuboid_vertex_fixrollpitch: bool = True  # Optimizer.cc:2166-2168
+    cuboid_vertex_fixheight: bool = True
+
+
+@dataclass(frozen=True)
+class SemanticConfig:
+    """Plane/cuboid detection + association gates (reference: Tracking.cc)."""
+
+    # plane segmentation (Tracking.cc:2404-2455)
+    plane_cloud_stride: int = 3
+    plane_min_inliers: int = 1000
+    plane_angle_threshold_deg: float = 3.0
+    plane_dist_threshold: float = 0.05
+    # plane association (Tracking.cc:2597-2637)
+    plane_asso_dist: float = 0.4
+    plane_asso_angle: float = 0.8  # |cos| >
+    plane_ver_angle: float = 0.08716  # cos(85 deg); |cos| < -> vertical
+    plane_par_angle: float = 0.9962  # cos(5 deg); |cos| > -> parallel
+    # cuboid-plane association (Tracking.cc:2736-2757)
+    cuboid_plane_dist: float = 0.2
+    cuboid_plane_angle: float = 0.9397  # cos(20 deg)
+    # cuboid association (Tracking.cc:2137-2313)
+    cuboid_min_own_points: int = 20
+    cuboid_shared_point_votes: int = 5
+    cuboid_cull_min_obs: int = 3
+    cuboid_cull_after_kfs: int = 15
+    object_boundary_margin: int = 5  # FOV gate (Optimizer.cc:2458-2461)
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    """Loop closing constants (reference: LoopClosing.cc, Optimizer.cc)."""
+
+    covisibility_consistency_th: int = 3  # LoopClosing.cc:46
+    min_bow_matches: int = 20  # ComputeSim3 (LoopClosing.cc:265-271)
+    min_sim3_inliers: int = 20
+    min_total_matches: int = 40  # LoopClosing.cc:375-391
+    essential_graph_min_feat: int = 100  # OptimizeEssentialGraph minFeat
+    essential_graph_iters: int = 20
+    sim3_ransac_max_iters: int = 300
+    sim3_ransac_prob: float = 0.99
+    sim3_min_inliers_ransac: int = 20
+
+
+@dataclass(frozen=True)
+class FeatureFlags:
+    """Pipeline feature toggles (reference: Parameters.cc:34-52)."""
+
+    detect_object: bool = False
+    read_offline_cuboidtxt: bool = False
+    detect_plane: bool = False
+    read_offline_planetxt: bool = False
+    associate_point_with_object: bool = False
+    associate_cuboid_with_classname: bool = False
+    optimize_with_plane_3d: bool = False
+    optimize_with_cuboid_plane: bool = False
+    optimize_with_cuboid_2d: bool = False
+    optimize_with_cuboid_3d: bool = False
+    optimize_with_corners_2d: bool = False
+    optimize_with_pt_obj_3d: bool = False
+    enable_ground_height_scale: bool = False
+    build_worldframe_on_ground: bool = False
+    enable_loop_closing: bool = True
+
+
+@dataclass(frozen=True)
+class Capacities:
+    """Static-shape capacities — the TPU replacement for dynamic containers.
+
+    Every map container in the reference (std::set / std::map, Map.h:73-97)
+    becomes a fixed-capacity SoA array + validity mask; these set the pad
+    sizes.  Bump them per dataset; recompilation happens per unique value.
+    """
+
+    max_keypoints: int = 1024  # per frame, padded
+    max_keyframes: int = 512
+    max_points: int = 32768
+    max_planes: int = 64
+    max_cuboids: int = 32
+    max_obs_per_point: int = 32
+    local_ba_keyframes: int = 16  # optimized window
+    local_ba_fixed_keyframes: int = 16  # fixed frontier
+    local_ba_points: int = 4096
+    pose_opt_points: int = 1024
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    orb: OrbConfig = field(default_factory=OrbConfig)
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+    semantic: SemanticConfig = field(default_factory=SemanticConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+    flags: FeatureFlags = field(default_factory=FeatureFlags)
+    caps: Capacities = field(default_factory=Capacities)
+
+    def replace(self, **kwargs) -> "SlamConfig":
+        return dataclasses.replace(self, **kwargs)
