@@ -1,0 +1,237 @@
+"""Structure-of-arrays map state — the TPU replacement for the reference's
+pointer graph (Map / KeyFrame / MapPoint / MapPlane / MapCuboid, Map.h:73-97).
+
+Everything lives in fixed-capacity device arrays with validity masks; the
+host orchestrator owns scalar allocation counters (slots are allocated
+monotonically, culling marks slots invalid).  There are no locks: the map is
+a value — each pipeline stage takes a snapshot and returns a new one, which
+replaces ``Map::mMutexMapUpdate`` (Map.h:67) with functional versioning.
+
+Covisibility (KeyFrame::UpdateConnections, KeyFrame.cc:289-350) is never
+stored: it is a rank-k matmul over the keyframe/point incidence matrix,
+recomputed on demand — cheaper on the MXU than maintaining adjacency lists.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import Capacities
+
+
+class MapState(NamedTuple):
+    """The whole map as one pytree of padded arrays."""
+
+    # keyframes ---------------------------------------------------------
+    kf_pose: jnp.ndarray  # (K, 4, 4) world->camera
+    kf_valid: jnp.ndarray  # (K,) bool
+    kf_frame_id: jnp.ndarray  # (K,) int32 source frame index
+    kf_uv: jnp.ndarray  # (K, N, 2) undistorted keypoints
+    kf_octave: jnp.ndarray  # (K, N) int32
+    kf_angle: jnp.ndarray  # (K, N)
+    kf_desc: jnp.ndarray  # (K, N, 8) uint32
+    kf_kp_valid: jnp.ndarray  # (K, N) bool
+    kf_pt: jnp.ndarray  # (K, N) int32 map-point id per keypoint, -1 none
+    kf_ur: jnp.ndarray  # (K, N) right-image u coord (stereo/RGBD), -1 mono
+    kf_depth: jnp.ndarray  # (K, N) keypoint depth, -1 unknown
+    # points ------------------------------------------------------------
+    pt_pos: jnp.ndarray  # (P, 3)
+    pt_valid: jnp.ndarray  # (P,) bool
+    pt_desc: jnp.ndarray  # (P, 8) uint32 representative descriptor
+    pt_normal: jnp.ndarray  # (P, 3) mean viewing direction
+    pt_min_dist: jnp.ndarray  # (P,) scale-invariance band
+    pt_max_dist: jnp.ndarray  # (P,)
+    pt_first_kf: jnp.ndarray  # (P,) int32
+    pt_found: jnp.ndarray  # (P,) int32 times matched after prediction
+    pt_visible: jnp.ndarray  # (P,) int32 times predicted visible
+    # planes (MapPlane.h) -------------------------------------------------
+    plane_coef: jnp.ndarray  # (Q, 4) world Hessian form
+    plane_valid: jnp.ndarray  # (Q,) bool
+    plane_obs_count: jnp.ndarray  # (Q,) int32
+    # cuboids (MapCuboid.h) ------------------------------------------------
+    cub_pose: jnp.ndarray  # (C, 4, 4) object->world (optimized estimate)
+    cub_scale: jnp.ndarray  # (C, 3)
+    cub_valid: jnp.ndarray  # (C,) bool
+    cub_class: jnp.ndarray  # (C,) int32 semantic class id
+    cub_obs_count: jnp.ndarray  # (C,) int32
+    cub_first_kf: jnp.ndarray  # (C,) int32
+
+
+def empty_map(caps: Capacities) -> MapState:
+    K, N, P, Q, C = (
+        caps.max_keyframes,
+        caps.max_keypoints,
+        caps.max_points,
+        caps.max_planes,
+        caps.max_cuboids,
+    )
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K, 4, 4))
+    return MapState(
+        kf_pose=eye,
+        kf_valid=jnp.zeros(K, bool),
+        kf_frame_id=jnp.zeros(K, jnp.int32),
+        kf_uv=jnp.zeros((K, N, 2), jnp.float32),
+        kf_octave=jnp.zeros((K, N), jnp.int32),
+        kf_angle=jnp.zeros((K, N), jnp.float32),
+        kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
+        kf_kp_valid=jnp.zeros((K, N), bool),
+        kf_pt=jnp.full((K, N), -1, jnp.int32),
+        kf_ur=jnp.full((K, N), -1.0, jnp.float32),
+        kf_depth=jnp.full((K, N), -1.0, jnp.float32),
+        pt_pos=jnp.zeros((P, 3), jnp.float32),
+        pt_valid=jnp.zeros(P, bool),
+        pt_desc=jnp.zeros((P, 8), jnp.uint32),
+        pt_normal=jnp.zeros((P, 3), jnp.float32),
+        pt_min_dist=jnp.zeros(P, jnp.float32),
+        pt_max_dist=jnp.full(P, 1e9, jnp.float32),
+        pt_first_kf=jnp.zeros(P, jnp.int32),
+        pt_found=jnp.ones(P, jnp.int32),
+        pt_visible=jnp.ones(P, jnp.int32),
+        plane_coef=jnp.tile(jnp.array([[0.0, 0.0, 1.0, 1.0]], jnp.float32), (Q, 1)),
+        plane_valid=jnp.zeros(Q, bool),
+        plane_obs_count=jnp.zeros(Q, jnp.int32),
+        cub_pose=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (C, 4, 4)),
+        cub_scale=jnp.ones((C, 3), jnp.float32),
+        cub_valid=jnp.zeros(C, bool),
+        cub_class=jnp.full(C, -1, jnp.int32),
+        cub_obs_count=jnp.zeros(C, jnp.int32),
+        cub_first_kf=jnp.zeros(C, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived structure
+# ---------------------------------------------------------------------------
+
+
+def incidence(m: MapState):
+    """(K, P) float32 observation incidence matrix from kf_pt."""
+    K, N = m.kf_pt.shape
+    P = m.pt_pos.shape[0]
+    obs = jnp.zeros((K, P), jnp.float32)
+    kf_rows = jnp.arange(K)[:, None] * jnp.ones((1, N), jnp.int32)
+    pt_cols = jnp.where(m.kf_pt >= 0, m.kf_pt, P)  # invalid -> overflow col
+    obs = jnp.pad(obs, ((0, 0), (0, 1))).at[kf_rows, pt_cols].add(1.0)[:, :P]
+    return obs * m.kf_valid[:, None].astype(jnp.float32)
+
+
+def covisibility(m: MapState):
+    """(K, K) shared-map-point counts (KeyFrame::UpdateConnections weight)."""
+    obs = incidence(m)
+    cov = jnp.dot(obs, obs.T, preferred_element_type=jnp.float32)
+    return cov - jnp.diag(jnp.diag(cov))
+
+
+def point_obs_counts(m: MapState):
+    """(P,) number of keyframes observing each point."""
+    return jnp.sum(incidence(m) > 0, axis=0).astype(jnp.int32)
+
+
+def local_window(m: MapState, center_kf: int, max_kfs: int, min_weight: float = 15.0):
+    """Covisibility window around ``center_kf``: top ``max_kfs`` neighbours
+    by shared points (weight >= min_weight, KeyFrame.cc:289-350 edge rule).
+
+    Returns (kf_ids (max_kfs,), mask) with the center always first.
+    """
+    cov = covisibility(m)
+    weights = cov[center_kf]
+    weights = jnp.where(m.kf_valid, weights, -1.0)
+    weights = weights.at[center_kf].set(jnp.inf)  # center first
+    top_w, top_i = jax.lax.top_k(weights, max_kfs)
+    mask = (top_w >= min_weight) | (jnp.arange(max_kfs) == 0)
+    return top_i.astype(jnp.int32), mask
+
+
+# ---------------------------------------------------------------------------
+# Mutations (functional; slot indices supplied by the host orchestrator)
+# ---------------------------------------------------------------------------
+
+
+def add_keyframe(m: MapState, slot, pose, frame_id, uv, octave, angle, desc, kp_valid, pt_ids, ur, depth):
+    return m._replace(
+        kf_pose=m.kf_pose.at[slot].set(pose),
+        kf_valid=m.kf_valid.at[slot].set(True),
+        kf_frame_id=m.kf_frame_id.at[slot].set(frame_id),
+        kf_uv=m.kf_uv.at[slot].set(uv),
+        kf_octave=m.kf_octave.at[slot].set(octave),
+        kf_angle=m.kf_angle.at[slot].set(angle),
+        kf_desc=m.kf_desc.at[slot].set(desc),
+        kf_kp_valid=m.kf_kp_valid.at[slot].set(kp_valid),
+        kf_pt=m.kf_pt.at[slot].set(pt_ids),
+        kf_ur=m.kf_ur.at[slot].set(ur),
+        kf_depth=m.kf_depth.at[slot].set(depth),
+    )
+
+
+def add_points(m: MapState, slots, pos, desc, normal, min_dist, max_dist, first_kf, valid):
+    """Write a batch of new points at ``slots`` (invalid lanes write to a
+    scratch slot ``P-1``... callers must pass slots < capacity and mask)."""
+    P = m.pt_pos.shape[0]
+    slots = jnp.where(valid, slots, P)  # out-of-range drops the write
+    return m._replace(
+        pt_pos=_padset(m.pt_pos, slots, pos),
+        pt_valid=_padset(m.pt_valid, slots, valid),
+        pt_desc=_padset(m.pt_desc, slots, desc),
+        pt_normal=_padset(m.pt_normal, slots, normal),
+        pt_min_dist=_padset(m.pt_min_dist, slots, min_dist),
+        pt_max_dist=_padset(m.pt_max_dist, slots, max_dist),
+        pt_first_kf=_padset(m.pt_first_kf, slots, first_kf),
+    )
+
+
+def _padset(arr, idx, vals):
+    """Scatter-set that silently drops out-of-range rows."""
+    padded = jnp.concatenate([arr, jnp.zeros_like(arr[:1])], axis=0)
+    return padded.at[idx].set(vals)[:-1]
+
+
+def assign_observations(m: MapState, kf_slot, kp_idx, pt_ids, ok):
+    """Set kf_pt[kf_slot, kp_idx] = pt_ids where ok (feature -> point links)."""
+    N = m.kf_pt.shape[1]
+    kp_idx = jnp.where(ok, kp_idx, N)
+    row = jnp.pad(m.kf_pt[kf_slot], (0, 1)).at[kp_idx].set(pt_ids)[:-1]
+    return m._replace(kf_pt=m.kf_pt.at[kf_slot].set(row))
+
+
+def cull_points(m: MapState, kill_mask):
+    """Mark points invalid and unlink them from every keyframe."""
+    kill_of_obs = jnp.where(m.kf_pt >= 0, kill_mask[jnp.clip(m.kf_pt, 0)], False)
+    return m._replace(
+        pt_valid=m.pt_valid & ~kill_mask,
+        kf_pt=jnp.where(kill_of_obs, -1, m.kf_pt),
+    )
+
+
+def replace_point(m: MapState, old_id, new_id):
+    """MapPoint::Replace — redirect all keyframe links old -> new."""
+    return m._replace(
+        kf_pt=jnp.where(m.kf_pt == old_id, new_id, m.kf_pt),
+        pt_valid=m.pt_valid.at[old_id].set(False),
+    )
+
+
+def update_point_stats(m: MapState):
+    """Refresh representative descriptors and normals from current links.
+
+    Mirrors MapPoint::ComputeDistinctiveDescriptors (median-Hamming argmin)
+    and UpdateNormalAndDepth (MapPoint.cc) — but batched over the whole map:
+    for each point gather up to K observing keyframes through the incidence
+    structure and reduce.
+    """
+    from ..kernels.match import hamming_matrix
+
+    K, N = m.kf_pt.shape
+    P = m.pt_pos.shape[0]
+    obs = incidence(m) > 0  # (K, P)
+    # normals: mean direction point -> camera center
+    centers = -jnp.einsum("kij,kj->ki", m.kf_pose[:, :3, :3].transpose(0, 2, 1), m.kf_pose[:, :3, 3])
+    diff = m.pt_pos[None, :, :] - centers[:, None, :]  # (K, P, 3)
+    dirs = diff / (jnp.linalg.norm(diff, axis=-1, keepdims=True) + 1e-9)
+    w = obs.astype(jnp.float32)
+    normal = jnp.einsum("kp,kpd->pd", w, dirs)
+    nrm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = jnp.where(nrm > 1e-6, normal / nrm, m.pt_normal)
+    return m._replace(pt_normal=normal)
