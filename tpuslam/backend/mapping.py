@@ -1,0 +1,153 @@
+"""Local mapping device programs: triangulation of new points, duplicate
+fusion, and point culling.
+
+Re-design of LocalMapping.cc: ``CreateNewMapPoints`` (epipolar search +
+SVD triangulation + cheirality/reproj/scale checks, LocalMapping.cc:244-492),
+``MapPointCulling`` (found/visible ratio + observation minimums,
+LocalMapping.cc:207-242), ``SearchInNeighbors`` fuse (LocalMapping.cc:494-574).
+Each is one jitted static-shape program per keyframe pair; the host
+orchestrator allocates slots.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import geometry as geo
+from ..kernels import match as km
+from ..frontend.initializer import triangulate
+from ..map import mapstate as ms
+
+
+class TriangulationResult(NamedTuple):
+    pos: jnp.ndarray  # (N, 3) new point positions (world)
+    kp1: jnp.ndarray  # (N,) keypoint index in kf1
+    kp2: jnp.ndarray  # (N,) keypoint index in kf2
+    ok: jnp.ndarray  # (N,) bool
+
+
+def fundamental_between(T1, T2, K):
+    """F12 such that x2^T F12 x1 = 0 (LocalMapping::ComputeF12,
+    LocalMapping.cc:576-593)."""
+    T12 = T1 @ geo.se3_inv(T2)  # frame2 -> frame1 (camera coords)
+    # NOTE: ORB-SLAM2 computes F12 with R12 = R1 R2^T, t12 = -R12 t2 + t1
+    R12 = T12[:3, :3]
+    t12 = T12[:3, 3]
+    E = geo.so3_hat(t12) @ R12
+    Kinv = jnp.linalg.inv(K)
+    return Kinv.T @ E @ Kinv
+
+
+@functools.partial(jax.jit, static_argnames=("scale_factor",))
+def create_new_map_points(
+    m: ms.MapState, kf1, kf2, K, scale_factor: float = 1.2
+):
+    """Triangulate new points between keyframes ``kf1`` (new) and ``kf2``.
+
+    Only keypoints not yet bound to a map point participate.  Checks follow
+    LocalMapping.cc:244-492: positive depth in both views, parallax,
+    chi2 < 5.991 sigma^2 reprojection in both views, scale consistency.
+    """
+    N = m.kf_pt.shape[1]
+    T1 = m.kf_pose[kf1]
+    T2 = m.kf_pose[kf2]
+    free1 = m.kf_kp_valid[kf1] & (m.kf_pt[kf1] < 0)
+    free2 = m.kf_kp_valid[kf2] & (m.kf_pt[kf2] < 0)
+
+    # baseline check vs scene depth is the caller's job (host has medianDepth)
+    F12 = fundamental_between(T1, T2, K)
+    sigma2 = scale_factor ** (2.0 * m.kf_octave[kf2].astype(jnp.float32))
+    gate = km.epipolar_gate(m.kf_uv[kf1], m.kf_uv[kf2], F12.T, jnp.sqrt(sigma2))
+    gate = gate & km.octave_gate(m.kf_octave[kf1], m.kf_octave[kf2], -2, 2)
+    idx, dist, ok = km.match_descriptors(
+        m.kf_desc[kf1], m.kf_desc[kf2], free1, free2, gate_mask=gate, max_dist=50.0, ratio=0.8
+    )
+    ok = km.rotation_consistency(m.kf_angle[kf1], m.kf_angle[kf2], idx, ok)
+    # mutual best in the gated sense
+    uv1 = m.kf_uv[kf1]
+    uv2 = m.kf_uv[kf2][idx]
+
+    pts = triangulate(T1, T2, uv1, uv2, K)
+    finite = jnp.all(jnp.isfinite(pts), axis=-1)
+    pc1 = geo.se3_apply(T1, pts)
+    pc2 = geo.se3_apply(T2, pts)
+    # parallax between viewing rays
+    c1 = -T1[:3, :3].T @ T1[:3, 3]
+    c2 = -T2[:3, :3].T @ T2[:3, 3]
+    r1 = pts - c1
+    r2 = pts - c2
+    d1 = jnp.linalg.norm(r1, axis=-1)
+    d2 = jnp.linalg.norm(r2, axis=-1)
+    cosp = jnp.sum(r1 * r2, axis=-1) / (d1 * d2 + 1e-12)
+
+    def reproj_err(pc, uv):
+        q = (K @ pc.T).T
+        q = q[:, :2] / jnp.where(jnp.abs(q[:, 2:3]) < 1e-12, 1e-12, q[:, 2:3])
+        return jnp.sum((q - uv) ** 2, axis=-1)
+
+    e1 = reproj_err(pc1, uv1)
+    e2 = reproj_err(pc2, uv2)
+    s2_1 = scale_factor ** (2.0 * m.kf_octave[kf1].astype(jnp.float32))
+    s2_2 = scale_factor ** (2.0 * m.kf_octave[kf2][idx].astype(jnp.float32))
+    # scale consistency (LocalMapping.cc:458-470)
+    ratio_dist = d1 / jnp.maximum(d2, 1e-9)
+    ratio_octave = (
+        scale_factor ** (m.kf_octave[kf1].astype(jnp.float32))
+        / scale_factor ** (m.kf_octave[kf2][idx].astype(jnp.float32))
+    )
+    ratio_factor = 1.5 * scale_factor
+    scale_ok = (ratio_dist < ratio_octave * ratio_factor) & (
+        ratio_dist * ratio_factor > ratio_octave
+    )
+    good = (
+        ok
+        & finite
+        & (pc1[:, 2] > 0)
+        & (pc2[:, 2] > 0)
+        & (cosp < 0.9998)
+        & (e1 < 5.991 * s2_1)
+        & (e2 < 5.991 * s2_2)
+        & scale_ok
+    )
+    return TriangulationResult(pos=pts, kp1=jnp.arange(N, dtype=jnp.int32), kp2=idx, ok=good)
+
+
+@jax.jit
+def fuse_duplicates(m: ms.MapState, kf, K):
+    """Project map points into ``kf`` and bind/replace matching keypoints
+    (ORBmatcher::Fuse semantics, ORBmatcher.cc:825-975, light version).
+
+    Any unbound keypoint of ``kf`` whose descriptor matches a visible map
+    point within a 3px gate adopts that point.
+    """
+    T = m.kf_pose[kf]
+    pc = geo.se3_apply(T, m.pt_pos)
+    q = (K @ pc.T).T
+    uv = q[:, :2] / jnp.where(jnp.abs(q[:, 2:3]) < 1e-9, 1e-9, q[:, 2:3])
+    visible = m.pt_valid & (pc[:, 2] > 0)
+    gate = km.window_gate(m.kf_uv[kf], uv, 3.0)
+    free = m.kf_kp_valid[kf] & (m.kf_pt[kf] < 0)
+    idx, dist, ok = km.match_descriptors(
+        m.kf_desc[kf], m.pt_desc, free, visible, gate_mask=gate, max_dist=50.0, ratio=0.9
+    )
+    new_row = jnp.where(ok, idx.astype(jnp.int32), m.kf_pt[kf])
+    return m._replace(kf_pt=m.kf_pt.at[kf].set(new_row))
+
+
+@jax.jit
+def point_cull_mask(m: ms.MapState, newest_kf):
+    """Mark bad points (MapPointCulling, LocalMapping.cc:207-242):
+    found/visible ratio < 0.25, or too few observations a few KFs after
+    creation."""
+    obs_count = ms.point_obs_counts(m)
+    ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(m.pt_visible, 1).astype(jnp.float32)
+    age = newest_kf - m.pt_first_kf
+    bad = m.pt_valid & (
+        (ratio < 0.25)
+        | ((age >= 2) & (obs_count <= 2) & (age <= 4))
+    )
+    return bad

@@ -1,0 +1,455 @@
+"""Tracking front end: the per-frame state machine.
+
+Re-design of Tracking.cc (2791 lines of pointer-chasing under the global map
+lock) as a host-side state machine dispatching jitted device programs:
+
+  extract -> (init | motion-model match + pose opt -> local-map match +
+  pose opt) -> keyframe decision -> synchronous local mapping step.
+
+The reference's three concurrent threads communicate through mutex-guarded
+shared state; here each stage is a pure function MapState -> MapState, so
+the pipeline is deterministic.  (Thread-level overlap can be reintroduced by
+double-buffering map snapshots — the dataflow is already functional.)
+
+State machine mirrors Tracking.h:81-87 (NOT_INITIALIZED / OK / LOST) with the
+decision thresholds of Tracking.cc (min matches, keyframe policy).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import geometry as geo
+from ..core.camera import Camera, undistort_points
+from ..core.config import SlamConfig
+from ..kernels import match as km
+from ..kernels import orb
+from ..graph import lm
+from ..map import mapstate as ms
+from ..backend import mapping as bm
+from ..backend.local_ba import run_local_ba
+from .initializer import initialize_two_view
+
+
+class Frame(NamedTuple):
+    uv: jnp.ndarray  # (N, 2) undistorted pixels
+    octave: jnp.ndarray  # (N,)
+    angle: jnp.ndarray  # (N,)
+    desc: jnp.ndarray  # (N, 8) uint32
+    valid: jnp.ndarray  # (N,)
+    ur: jnp.ndarray  # (N,) right-view u (stereo/RGBD), -1 for mono
+    depth: jnp.ndarray  # (N,) depth, -1 unknown
+
+
+def frame_from_features(feats: orb.Features, cam: Camera, ur=None, depth=None) -> Frame:
+    n = feats.uv.shape[0]
+    return Frame(
+        uv=undistort_points(cam, feats.uv),
+        octave=feats.octave,
+        angle=feats.angle,
+        desc=feats.desc,
+        valid=feats.valid,
+        ur=ur if ur is not None else jnp.full(n, -1.0, jnp.float32),
+        depth=depth if depth is not None else jnp.full(n, -1.0, jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jitted tracking steps
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=())
+def match_motion_model(m: ms.MapState, frame: Frame, last_pt: jnp.ndarray, last_angle, T_pred, cam: Camera, radius):
+    """SearchByProjection(current, last) (ORBmatcher.cc:1328-1470) +
+    PoseOptimization — returns (T_opt, pt_ids_per_kp, n_inliers)."""
+    P = m.pt_pos.shape[0]
+    has_pt = (last_pt >= 0) & m.pt_valid[jnp.clip(last_pt, 0)]
+    X = m.pt_pos[jnp.clip(last_pt, 0)]
+    pc = geo.se3_apply(T_pred, X)
+    uv_pred = jnp.stack(
+        [
+            cam.fx * pc[:, 0] / jnp.maximum(pc[:, 2], 1e-6) + cam.cx,
+            cam.fy * pc[:, 1] / jnp.maximum(pc[:, 2], 1e-6) + cam.cy,
+        ],
+        axis=-1,
+    )
+    vis = has_pt & (pc[:, 2] > 0)
+    gate = km.window_gate(uv_pred, frame.uv, radius)
+    desc_pt = m.pt_desc[jnp.clip(last_pt, 0)]
+    idx, dist, ok = km.match_descriptors(
+        desc_pt, frame.desc, vis, frame.valid, gate_mask=gate, max_dist=100.0, ratio=0.9
+    )
+    ok = km.rotation_consistency(last_angle, frame.angle, idx, ok)
+    # pose optimization over matched pairs
+    uv_obs = frame.uv[idx]
+    inv_s2 = 1.0 / (1.2 ** (2.0 * frame.octave[idx].astype(jnp.float32)))
+    T_opt, inl, n_in = lm.optimize_pose(
+        T_pred, X, uv_obs, inv_s2, ok, cam.fx, cam.fy, cam.cx, cam.cy
+    )
+    # bind: per current keypoint, the matched map point id
+    N = frame.uv.shape[0]
+    kp_pt = jnp.full((N,), -1, jnp.int32)
+    tgt = jnp.where(ok & inl, idx, N)
+    kp_pt = jnp.concatenate([kp_pt, jnp.zeros(1, jnp.int32)]).at[tgt].set(
+        jnp.where(ok & inl, last_pt, -1)
+    )[:N]
+    return T_opt, kp_pt, n_in
+
+
+@jax.jit
+def match_reference_kf(m: ms.MapState, frame: Frame, ref_kf, T_init, cam: Camera):
+    """TrackReferenceKeyFrame (Tracking.cc:988-1031): descriptor matching
+    against the reference KF's bound keypoints (BoW-node gating in the
+    reference; dense gated matching here), then pose optimization."""
+    N = frame.uv.shape[0]
+    ref_pt = m.kf_pt[ref_kf]
+    has_pt = (ref_pt >= 0) & m.kf_kp_valid[ref_kf]
+    idx, dist, ok = km.match_descriptors(
+        frame.desc, m.kf_desc[ref_kf], frame.valid, has_pt, max_dist=50.0, ratio=0.7
+    )
+    ok = km.rotation_consistency(frame.angle, m.kf_angle[ref_kf], idx, ok)
+    pt_ids = jnp.where(ok, ref_pt[idx], -1)
+    X = m.pt_pos[jnp.clip(pt_ids, 0)]
+    inv_s2 = 1.0 / (1.2 ** (2.0 * frame.octave.astype(jnp.float32)))
+    T_opt, inl, n_in = lm.optimize_pose(
+        T_init, X, frame.uv, inv_s2, ok & (pt_ids >= 0), cam.fx, cam.fy, cam.cx, cam.cy
+    )
+    kp_pt = jnp.where(ok & inl & (pt_ids >= 0), pt_ids, -1)
+    return T_opt, kp_pt, n_in, jnp.sum(ok & (pt_ids >= 0))
+
+
+@functools.partial(jax.jit, static_argnames=("n_local",))
+def track_local_map(m: ms.MapState, frame: Frame, kp_pt, T_init, ref_kf, cam: Camera, n_local: int = 4096):
+    """TrackLocalMap (Tracking.cc:1163-1208): project the covisibility-local
+    point set, bind additional keypoints, optimize the pose again.
+
+    Returns (T_opt, kp_pt_out, n_inliers, map_with_updated_counters).
+    """
+    N = frame.uv.shape[0]
+    P = m.pt_pos.shape[0]
+    # local points = observed by ref KF's covisibility neighbourhood
+    cov = ms.covisibility(m)
+    w = jnp.where(m.kf_valid, cov[ref_kf], -1.0)
+    w = w.at[ref_kf].set(jnp.inf)
+    _, kf_top = jax.lax.top_k(w, 16)
+    kf_mask = jnp.concatenate([jnp.ones(1, bool), (w[kf_top[1:]] > 0)])
+    obs = ms.incidence(m)
+    local_mask = (jnp.sum(obs[kf_top] * kf_mask[:, None], axis=0) > 0) & m.pt_valid
+    sel_val, pt_ids = jax.lax.top_k(local_mask.astype(jnp.float32), n_local)
+    pt_mask = sel_val > 0
+
+    X = m.pt_pos[pt_ids]
+    pc = geo.se3_apply(T_init, X)
+    z_ok = pc[:, 2] > 0.05
+    uv_proj = jnp.stack(
+        [
+            cam.fx * pc[:, 0] / jnp.maximum(pc[:, 2], 1e-6) + cam.cx,
+            cam.fy * pc[:, 1] / jnp.maximum(pc[:, 2], 1e-6) + cam.cy,
+        ],
+        axis=-1,
+    )
+    in_img = (
+        (uv_proj[:, 0] >= 0)
+        & (uv_proj[:, 0] < cam.width)
+        & (uv_proj[:, 1] >= 0)
+        & (uv_proj[:, 1] < cam.height)
+    )
+    visible = pt_mask & z_ok & in_img
+    # already-bound map points must not be double-bound
+    already = jnp.zeros((P + 1,), bool).at[jnp.where(kp_pt >= 0, kp_pt, P)].set(True)[:P]
+    candidate = visible & ~already[pt_ids]
+    kp_free = frame.valid & (kp_pt < 0)
+    gate = km.window_gate(uv_proj, frame.uv, 6.0)
+    idx, dist, ok = km.match_descriptors(
+        m.pt_desc[pt_ids], frame.desc, candidate, kp_free, gate_mask=gate, max_dist=50.0, ratio=0.8
+    )
+    # bind new matches (first writer wins on conflicts)
+    tgt = jnp.where(ok, idx, N)
+    add = jnp.concatenate([jnp.full((N,), -1, jnp.int32), jnp.zeros(1, jnp.int32)]).at[tgt].set(
+        jnp.where(ok, pt_ids, -1)
+    )[:N]
+    kp_pt2 = jnp.where(kp_pt >= 0, kp_pt, add)
+
+    X_all = m.pt_pos[jnp.clip(kp_pt2, 0)]
+    inv_s2 = 1.0 / (1.2 ** (2.0 * frame.octave.astype(jnp.float32)))
+    T_opt, inl, n_in = lm.optimize_pose(
+        T_init, X_all, frame.uv, inv_s2, kp_pt2 >= 0, cam.fx, cam.fy, cam.cx, cam.cy
+    )
+    kp_pt_out = jnp.where((kp_pt2 >= 0) & inl, kp_pt2, -1)
+
+    # found/visible counters (MapPoint::IncreaseVisible/Found)
+    vis_add = jnp.zeros((P + 1,), jnp.int32).at[jnp.where(visible, pt_ids, P)].add(1)[:P]
+    fnd_add = jnp.zeros((P + 1,), jnp.int32).at[
+        jnp.where(kp_pt_out >= 0, kp_pt_out, P)
+    ].add(1)[:P]
+    m = m._replace(pt_visible=m.pt_visible + vis_add, pt_found=m.pt_found + fnd_add)
+    return T_opt, kp_pt_out, n_in, m
+
+
+@jax.jit
+def match_for_init(f1: Frame, f2: Frame):
+    """SearchForInitialization (ORBmatcher.cc:405): 100px window, 0.9 ratio,
+    rotation consistency."""
+    gate = km.window_gate(f1.uv, f2.uv, 100.0)
+    idx, dist, ok = km.match_descriptors(
+        f1.desc, f2.desc, f1.valid, f2.valid, gate_mask=gate, max_dist=50.0, ratio=0.9
+    )
+    ok = km.rotation_consistency(f1.angle, f2.angle, idx, ok)
+    return idx, ok
+
+
+# ---------------------------------------------------------------------------
+# Host orchestrator
+# ---------------------------------------------------------------------------
+
+
+class Tracker:
+    """Host-side SLAM pipeline (System + Tracking + LocalMapping facade).
+
+    Synchronous, deterministic: each frame runs tracking; keyframe insertion
+    runs the mapping step inline (queue + threads in the reference,
+    System.cc:98-122 — see module docstring for why that is safe here).
+    """
+
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+    def __init__(self, cam: Camera, cfg: SlamConfig):
+        self.cam = cam
+        self.cfg = cfg
+        self.map = ms.empty_map(cfg.caps)
+        self.state = self.NOT_INITIALIZED
+        self.n_kf = 0
+        self.n_pt = 0
+        self.velocity = jnp.eye(4)
+        self.T_cur = jnp.eye(4)
+        self.last_frame: Optional[Frame] = None
+        self.last_kp_pt = None
+        self.init_frame: Optional[Frame] = None
+        self.init_frame_id = -1
+        self.ref_kf = 0
+        self.frames_since_kf = 0
+        self.trajectory: list = []  # (frame_id, Tcw 4x4 np.ndarray)
+        self.n_inliers = 0
+
+    # -- public API ---------------------------------------------------------
+
+    def process_image(self, gray, frame_id):
+        o = self.cfg.orb
+        feats = orb.extract(
+            jnp.asarray(gray, jnp.float32),
+            n_features=o.n_features,
+            n_levels=o.n_levels,
+            scale_factor=o.scale_factor,
+            ini_th=o.ini_th_fast,
+            min_th=o.min_th_fast,
+        )
+        frame = frame_from_features(feats, self.cam)
+        return self.process_frame(frame, frame_id)
+
+    def process_frame(self, frame: Frame, frame_id: int):
+        if self.state == self.NOT_INITIALIZED:
+            self._monocular_initialization(frame, frame_id)
+        else:
+            self._track(frame, frame_id)
+        if self.state == self.OK:
+            self.trajectory.append((frame_id, np.array(self.T_cur)))
+        return np.array(self.T_cur) if self.state == self.OK else None
+
+    # -- initialization -------------------------------------------------------
+
+    def _monocular_initialization(self, frame: Frame, frame_id: int):
+        cfg = self.cfg
+        if self.init_frame is None or int(frame.valid.sum()) < cfg.tracking.min_init_matches:
+            if int(frame.valid.sum()) >= cfg.tracking.min_init_matches:
+                self.init_frame = frame
+                self.init_frame_id = frame_id
+            return
+        idx, ok = match_for_init(self.init_frame, frame)
+        n_matches = int(ok.sum())
+        if n_matches < cfg.tracking.min_init_matches:
+            self.init_frame = frame  # restart (Tracking.cc:755-773)
+            self.init_frame_id = frame_id
+            return
+        res = initialize_two_view(
+            self.init_frame.uv, frame.uv[idx], ok, self.cam.K, jax.random.PRNGKey(0)
+        )
+        if not bool(res.ok):
+            return
+        # scale so median scene depth = 1 (Tracking.cc:861-906)
+        good = res.good
+        depths = jnp.where(good, res.points[:, 2], jnp.nan)
+        med = float(jnp.nanmedian(depths))
+        if not np.isfinite(med) or med <= 0 or int(good.sum()) < 80:
+            return
+        pts = res.points / med
+        T1 = jnp.eye(4)
+        T2 = res.T_21.at[:3, 3].mul(1.0 / med)
+
+        N = frame.uv.shape[0]
+        n_new = int(good.sum())
+        slots = jnp.where(good, jnp.cumsum(good.astype(jnp.int32)) - 1 + self.n_pt, 0)
+        # point descriptors from frame 2
+        desc2 = frame.desc[idx]
+        self.map = ms.add_points(
+            self.map,
+            slots,
+            pts,
+            desc2,
+            jnp.zeros((N, 3)),
+            jnp.zeros(N),
+            jnp.full(N, 1e9),
+            jnp.zeros(N, jnp.int32),
+            good,
+        )
+        pt_of_kp1 = jnp.where(good, slots, -1).astype(jnp.int32)
+        # per-kp2 binding: scatter through match idx
+        pt_of_kp2 = (
+            jnp.full((N + 1,), -1, jnp.int32)
+            .at[jnp.where(good, idx, N)]
+            .set(jnp.where(good, slots.astype(jnp.int32), -1))[:N]
+        )
+        self.map = ms.add_keyframe(
+            self.map, 0, T1, self.init_frame_id,
+            self.init_frame.uv, self.init_frame.octave, self.init_frame.angle,
+            self.init_frame.desc, self.init_frame.valid, pt_of_kp1,
+            self.init_frame.ur, self.init_frame.depth,
+        )
+        self.map = ms.add_keyframe(
+            self.map, 1, T2, frame_id,
+            frame.uv, frame.octave, frame.angle, frame.desc, frame.valid,
+            pt_of_kp2, frame.ur, frame.depth,
+        )
+        self.n_kf = 2
+        self.n_pt += n_new
+        self.map = ms.update_point_stats(self.map)
+        self.map, _ = run_local_ba(self.map, 1, self.cam, self.cfg)
+        self.T_cur = self.map.kf_pose[1]
+        self.velocity = jnp.eye(4)
+        self.last_frame = frame
+        self.last_kp_pt = pt_of_kp2
+        self.ref_kf = 1
+        self.frames_since_kf = 0
+        self.state = self.OK
+
+    # -- tracking -------------------------------------------------------------
+
+    def _track(self, frame: Frame, frame_id: int):
+        cfg = self.cfg
+        T_pred = self.velocity @ self.T_cur
+        T_opt, kp_pt, n_in = match_motion_model(
+            self.map, frame, self.last_kp_pt, self.last_frame.angle, T_pred,
+            self.cam, cfg.tracking.search_radius_motion,
+        )
+        n_in = int(n_in)
+        if n_in < cfg.tracking.min_track_motion:
+            T_opt, kp_pt, n_in, n_matches = match_reference_kf(
+                self.map, frame, self.ref_kf, self.T_cur, self.cam
+            )
+            n_in = int(n_in)
+            if n_in < cfg.tracking.min_track_ref:
+                self.state = self.LOST
+                return
+        T_opt, kp_pt, n_in, self.map = track_local_map(
+            self.map, frame, kp_pt, T_opt, self.ref_kf, self.cam,
+            n_local=cfg.caps.local_ba_points,
+        )
+        n_in = int(n_in)
+        self.n_inliers = n_in
+        if n_in < cfg.tracking.min_track_localmap:
+            self.state = self.LOST
+            return
+        self.velocity = T_opt @ geo.se3_inv(self.T_cur)
+        self.T_cur = T_opt
+        self.last_frame = frame
+        self.last_kp_pt = kp_pt
+        self.frames_since_kf += 1
+        if self._need_new_keyframe(n_in):
+            self._create_keyframe(frame, frame_id, kp_pt)
+
+    def _need_new_keyframe(self, n_in: int) -> bool:
+        """Tracking::NeedNewKeyFrame (Tracking.cc:1211-1295), simplified to
+        the monocular conditions: temporal cap OR weak tracking vs ref KF."""
+        cfg = self.cfg
+        if self.n_kf >= cfg.caps.max_keyframes - 1:
+            return False
+        ref_tracked = int(
+            ((self.map.kf_pt[self.ref_kf] >= 0) & self.map.kf_kp_valid[self.ref_kf]).sum()
+        )
+        c1 = self.frames_since_kf >= cfg.tracking.max_frames_between_kf
+        c2 = n_in < 0.9 * ref_tracked and n_in > 15
+        return bool(c1 or c2)
+
+    def _create_keyframe(self, frame: Frame, frame_id: int, kp_pt):
+        slot = self.n_kf
+        self.map = ms.add_keyframe(
+            self.map, slot, self.T_cur, frame_id,
+            frame.uv, frame.octave, frame.angle, frame.desc, frame.valid,
+            kp_pt, frame.ur, frame.depth,
+        )
+        self.n_kf += 1
+        self.ref_kf = slot
+        self.frames_since_kf = 0
+        self._local_mapping_step(slot)
+        self.last_kp_pt = self.map.kf_pt[slot]
+
+    # -- local mapping (synchronous) -------------------------------------------
+
+    def _local_mapping_step(self, kf_slot: int):
+        """LocalMapping::Run body for one keyframe (LocalMapping.cc:49-145):
+        cull points, triangulate with neighbours, fuse, local BA."""
+        cfg = self.cfg
+        # point culling
+        bad = bm.point_cull_mask(self.map, jnp.int32(kf_slot))
+        self.map = ms.cull_points(self.map, bad)
+        # triangulate with top covisible neighbours
+        cov = ms.covisibility(self.map)
+        weights = np.array(jnp.where(self.map.kf_valid, cov[kf_slot], -1.0))
+        weights[kf_slot] = -1.0
+        order = np.argsort(-weights)
+        n_neighbors = 0
+        for nb in order:
+            if n_neighbors >= 5 or weights[nb] < 15:
+                break
+            n_neighbors += 1
+            tri = bm.create_new_map_points(
+                self.map, jnp.int32(kf_slot), jnp.int32(int(nb)), self.cam.K,
+                scale_factor=cfg.orb.scale_factor,
+            )
+            ok = np.array(tri.ok)
+            n_new = int(ok.sum())
+            if n_new == 0:
+                continue
+            if self.n_pt + n_new > cfg.caps.max_points:
+                break
+            good = tri.ok
+            slots = jnp.where(good, jnp.cumsum(good.astype(jnp.int32)) - 1 + self.n_pt, 0)
+            desc = self.map.kf_desc[kf_slot]
+            self.map = ms.add_points(
+                self.map,
+                slots,
+                tri.pos,
+                desc,
+                jnp.zeros_like(tri.pos),
+                jnp.zeros(good.shape[0]),
+                jnp.full(good.shape[0], 1e9),
+                jnp.full(good.shape[0], kf_slot, jnp.int32),
+                good,
+            )
+            slots_i = slots.astype(jnp.int32)
+            self.map = ms.assign_observations(self.map, jnp.int32(kf_slot), tri.kp1, slots_i, good)
+            self.map = ms.assign_observations(self.map, jnp.int32(int(nb)), tri.kp2, slots_i, good)
+            self.n_pt += n_new
+        # fuse duplicates into the new KF
+        self.map = bm.fuse_duplicates(self.map, jnp.int32(kf_slot), self.cam.K)
+        self.map = ms.update_point_stats(self.map)
+        # local BA
+        if self.n_kf > 2:
+            self.map, _ = run_local_ba(self.map, kf_slot, self.cam, self.cfg)
