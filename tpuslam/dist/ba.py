@@ -28,7 +28,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..graph import lm
 from ..graph.schur import schur_solve
@@ -106,7 +106,7 @@ def distributed_lm_iterations(mesh: Mesh, state: lm.BAState, data: lm.BAData, w:
         mesh=mesh,
         in_specs=(state_spec, data_spec),
         out_specs=(state_spec, P()),
-        check_rep=False,
+        check_vma=False,
     )
     def run(state, data_shard):
         def body(carry, _):
