@@ -34,8 +34,29 @@ def _scale_inv_sigma2(octave, scale_factor: float = 1.2):
     return 1.0 / (scale_factor ** (2.0 * octave.astype(jnp.float32)))
 
 
-@functools.partial(jax.jit, static_argnames=("n_opt", "n_fixed", "n_local_pts"))
-def pack_local_ba(m: ms.MapState, center_kf, cam, n_opt: int = 16, n_fixed: int = 16, n_local_pts: int = 4096):
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_opt", "n_fixed", "n_local_pts",
+        "use_planes", "use_cub_2d", "use_corners_2d", "use_cub_3d",
+        "use_pt_obj", "use_cub_plane", "pt_per_cub",
+    ),
+)
+def pack_local_ba(
+    m: ms.MapState,
+    center_kf,
+    cam,
+    n_opt: int = 16,
+    n_fixed: int = 16,
+    n_local_pts: int = 4096,
+    use_planes: bool = False,
+    use_cub_2d: bool = False,
+    use_corners_2d: bool = False,
+    use_cub_3d: bool = False,
+    use_pt_obj: bool = False,
+    use_cub_plane: bool = False,
+    pt_per_cub: int = 64,
+):
     """Build a BA problem around ``center_kf``.
 
     Optimized KFs: center + best covisible neighbours (weight-sorted).
@@ -92,22 +113,155 @@ def pack_local_ba(m: ms.MapState, center_kf, cam, n_opt: int = 16, n_fixed: int 
         valid=valid,
     )
 
+    use_semantics = use_planes or use_cub_2d or use_corners_2d or use_cub_3d or use_pt_obj or use_cub_plane
+    if not use_semantics:
+        state = lm.BAState(
+            poses=m.kf_pose[window_ids],
+            points=m.pt_pos[point_ids],
+            planes=m.plane_coef[:1],
+            cuboid_pose=m.cub_pose[:1],
+            cuboid_scale=m.cub_scale[:1],
+        )
+        data = lm.make_ba_data(
+            W, n_local_pts, 1, 1, cam,
+            mono=mono, pose_fixed=pose_fixed, point_active=point_mask,
+        )
+        return LocalBAPack(
+            state=state,
+            data=data,
+            window_ids=window_ids,
+            window_mask=window_mask,
+            point_ids=point_ids,
+            point_mask=point_mask,
+        )
+
+    # ---- heterogeneous graph: planes and cuboids as first-class variables --
+    from ..semantic.associate import cuboid_plane_pairs
+
+    Q = m.plane_coef.shape[0]
+    C = m.cub_valid.shape[0]
+    L = m.kf_plane_valid.shape[1]
+    O = m.kf_cub_valid.shape[1]
+    opt_in_window = window_mask & jnp.concatenate([opt_mask, jnp.zeros(n_fixed, bool)])
+
+    # camera-plane factors: one per (window kf, det slot, relation kind)
+    kf_l = jnp.repeat(jnp.arange(W, dtype=jnp.int32), L)
+    kf_g = window_ids[kf_l]
+    sl = jnp.tile(jnp.arange(L, dtype=jnp.int32), W)
+    meas = m.kf_plane_coef[kf_g, sl]
+    base_valid = window_mask[kf_l] & m.kf_plane_valid[kf_g, sl] & use_planes
+
+    def plane_bundle(plane_id_arr, kind):
+        pid = plane_id_arr[kf_g, sl]
+        return lm.PlaneFactors(
+            kf=kf_l,
+            plane=jnp.clip(pid, 0),
+            meas=meas,
+            kind=jnp.full(W * L, kind, jnp.int32),
+            valid=base_valid & (pid >= 0) & m.plane_valid[jnp.clip(pid, 0)],
+        )
+
+    pf_dir = plane_bundle(m.kf_plane_map, 0)
+    pf_ver = plane_bundle(m.kf_plane_ver, 1)
+    pf_par = plane_bundle(m.kf_plane_par, 2)
+    plane_obs = lm.PlaneFactors(*[jnp.concatenate(x) for x in zip(pf_dir, pf_ver, pf_par)])
+
+    # camera-cuboid factors: one per (window kf, det slot)
+    kf_lc = jnp.repeat(jnp.arange(W, dtype=jnp.int32), O)
+    kf_gc = window_ids[kf_lc]
+    so = jnp.tile(jnp.arange(O, dtype=jnp.int32), W)
+    cub_id = m.kf_cub_map[kf_gc, so]
+    bbox = m.kf_cub_bbox[kf_gc, so]
+    # FOV margin gate (Optimizer.cc:2458-2461)
+    margin = 5.0
+    x1 = bbox[:, 0] - bbox[:, 2] / 2
+    y1 = bbox[:, 1] - bbox[:, 3] / 2
+    in_fov = (
+        (x1 > margin)
+        & (y1 > margin)
+        & (x1 + bbox[:, 2] < cam.width - margin)
+        & (y1 + bbox[:, 3] < cam.height - margin)
+    )
+    cub_base = (
+        window_mask[kf_lc]
+        & m.kf_cub_valid[kf_gc, so]
+        & (cub_id >= 0)
+        & m.cub_valid[jnp.clip(cub_id, 0)]
+    )
+    quality = m.kf_cub_quality[kf_gc, so]
+    cub_bbox = lm.CuboidBBoxFactors(
+        kf=kf_lc, cub=jnp.clip(cub_id, 0), bbox=bbox,
+        weight=quality, valid=cub_base & in_fov & use_cub_2d,
+    )
+    cub_corner = lm.CuboidCornerFactors(
+        kf=kf_lc, cub=jnp.clip(cub_id, 0), corners=m.kf_cub_corners[kf_gc, so],
+        weight=quality, valid=cub_base & in_fov & use_corners_2d,
+    )
+    cub_se3 = lm.CuboidSE3Factors(
+        kf=kf_lc, cub=jnp.clip(cub_id, 0),
+        meas_pose=m.kf_cub_local_pose[kf_gc, so],
+        meas_scale=m.kf_cub_local_scale[kf_gc, so],
+        weight=quality, valid=cub_base & use_cub_3d,
+    )
+
+    # point-in-cuboid: per cuboid, owned points remapped to local indices
+    owned_mask = (m.pt_cub[point_ids][None, :] == jnp.arange(C)[:, None]) & point_mask[None, :]
+    own_val, own_idx = jax.lax.top_k(owned_mask.astype(jnp.float32), pt_per_cub)  # (C, M)
+    pt_cub_f = lm.PointCuboidFactors(
+        cub=jnp.arange(C, dtype=jnp.int32),
+        pts=own_idx.astype(jnp.int32),
+        pts_mask=own_val,
+        weight=jnp.ones(C),
+        valid=m.cub_valid & (jnp.sum(own_val, axis=1) >= 5) & use_pt_obj,
+    )
+
+    # cuboid-plane factors from the current geometric association
+    face_of = cuboid_plane_pairs(m)  # (C, Q)
+    cub_q = jnp.repeat(jnp.arange(C, dtype=jnp.int32), Q)
+    pl_q = jnp.tile(jnp.arange(Q, dtype=jnp.int32), C)
+    face_flat = face_of.reshape(-1)
+    cub_plane = lm.CuboidPlaneFactors(
+        cub=cub_q, plane=pl_q, face=jnp.clip(face_flat, 0),
+        valid=(face_flat >= 0) & use_cub_plane,
+    )
+
+    # active variables: referenced by at least one valid factor
+    plane_active = (
+        jnp.zeros((Q + 1,), bool)
+        .at[jnp.where(plane_obs.valid, plane_obs.plane, Q)]
+        .set(True)[:Q]
+        & m.plane_valid
+    )
+    cub_ref = jnp.concatenate(
+        [
+            jnp.where(cub_bbox.valid, cub_bbox.cub, C),
+            jnp.where(cub_corner.valid, cub_corner.cub, C),
+            jnp.where(cub_se3.valid, cub_se3.cub, C),
+            jnp.where(pt_cub_f.valid, pt_cub_f.cub, C),
+        ]
+    )
+    cuboid_active = jnp.zeros((C + 1,), bool).at[cub_ref].set(True)[:C] & m.cub_valid
+
     state = lm.BAState(
         poses=m.kf_pose[window_ids],
         points=m.pt_pos[point_ids],
-        planes=m.plane_coef[:1],
-        cuboid_pose=m.cub_pose[:1],
-        cuboid_scale=m.cub_scale[:1],
+        planes=m.plane_coef,
+        cuboid_pose=m.cub_pose,
+        cuboid_scale=m.cub_scale,
     )
     data = lm.make_ba_data(
-        W,
-        n_local_pts,
-        1,
-        1,
-        cam,
+        W, n_local_pts, Q, C, cam,
         mono=mono,
+        plane_obs=plane_obs,
+        cub_bbox=cub_bbox,
+        cub_corner=cub_corner,
+        cub_se3=cub_se3,
+        pt_cub=pt_cub_f,
+        cub_plane=cub_plane,
         pose_fixed=pose_fixed,
         point_active=point_mask,
+        plane_active=plane_active,
+        cuboid_active=cuboid_active,
     )
     return LocalBAPack(
         state=state,
@@ -148,12 +302,99 @@ def unpack_local_ba(m: ms.MapState, pack: LocalBAPack, state_opt: lm.BAState, da
     kf_pt = jnp.concatenate([m.kf_pt.reshape(-1), jnp.zeros(1, jnp.int32)])
     kf_pt = kf_pt.at[flat_idx].set(-1)[:-1].reshape(K, N)
 
-    return m._replace(kf_pose=kf_pose, pt_pos=pt_pos, kf_pt=kf_pt)
+    m = m._replace(kf_pose=kf_pose, pt_pos=pt_pos, kf_pt=kf_pt)
+
+    # heterogeneous case: planes/cuboids were full-map variables — write back
+    # the active ones (Optimizer.cc:2915-2966 cuboid_global_opti write-back)
+    if state_opt.planes.shape[0] == m.plane_coef.shape[0]:
+        pa = data_out.plane_active[:, None]
+        m = m._replace(plane_coef=jnp.where(pa, state_opt.planes, m.plane_coef))
+    if state_opt.cuboid_pose.shape[0] == m.cub_pose.shape[0]:
+        ca = data_out.cuboid_active[:, None, None]
+        m = m._replace(
+            cub_pose=jnp.where(ca, state_opt.cuboid_pose, m.cub_pose),
+            cub_scale=jnp.where(
+                data_out.cuboid_active[:, None], state_opt.cuboid_scale, m.cub_scale
+            ),
+        )
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("n_kfs", "n_pts"))
+def pack_global_ba(m: ms.MapState, cam, n_kfs: int = 64, n_pts: int = 8192):
+    """All-keyframes, all-points BA problem (GlobalBundleAdjustemnt,
+    Optimizer.cc:46-54: every KF except id 0 free, every point free)."""
+    K, N = m.kf_pt.shape
+    P = m.pt_pos.shape[0]
+    window_ids = jnp.arange(n_kfs, dtype=jnp.int32)
+    window_mask = m.kf_valid[:n_kfs]
+    pose_fixed = (window_ids == 0) | ~window_mask
+
+    sel_val, point_ids = jax.lax.top_k(m.pt_valid[:].astype(jnp.float32), n_pts)
+    point_mask = sel_val > 0
+    inv_map = jnp.full((P + 1,), -1, jnp.int32).at[
+        jnp.where(point_mask, point_ids, P)
+    ].set(jnp.arange(n_pts, dtype=jnp.int32))[:P]
+
+    kf_local = jnp.repeat(jnp.arange(n_kfs, dtype=jnp.int32), N)
+    kf_global = window_ids[kf_local]
+    kp = jnp.tile(jnp.arange(N, dtype=jnp.int32), n_kfs)
+    pt_gl = m.kf_pt[kf_global, kp]
+    pt_lc = inv_map[jnp.clip(pt_gl, 0, P - 1)]
+    valid = (
+        window_mask[kf_local]
+        & m.kf_kp_valid[kf_global, kp]
+        & (pt_gl >= 0)
+        & (pt_lc >= 0)
+    )
+    mono = lm.MonoFactors(
+        kf=kf_local,
+        pt=jnp.clip(pt_lc, 0),
+        uv=m.kf_uv[kf_global, kp],
+        inv_sigma2=_scale_inv_sigma2(m.kf_octave[kf_global, kp]),
+        valid=valid,
+    )
+    state = lm.BAState(
+        poses=m.kf_pose[window_ids],
+        points=m.pt_pos[point_ids],
+        planes=m.plane_coef[:1],
+        cuboid_pose=m.cub_pose[:1],
+        cuboid_scale=m.cub_scale[:1],
+    )
+    data = lm.make_ba_data(
+        n_kfs, n_pts, 1, 1, cam,
+        mono=mono, pose_fixed=pose_fixed, point_active=point_mask,
+    )
+    return LocalBAPack(
+        state=state, data=data,
+        window_ids=window_ids, window_mask=window_mask,
+        point_ids=point_ids, point_mask=point_mask,
+    )
+
+
+def run_global_ba(m: ms.MapState, cam, cfg, n_iters: int = 10):
+    """Full-map BA after a loop closure (RunGlobalBundleAdjustment,
+    LoopClosing.cc:645-749 — synchronous here, on the functional snapshot)."""
+    caps = cfg.caps
+    pack = pack_global_ba(m, cam, n_kfs=caps.global_ba_keyframes, n_pts=caps.global_ba_points)
+    w = lm.BAWeights.from_config(cfg.ba)
+    state_opt, chi2s = _jitted_lm_iterations(pack.state, pack.data, w, n_iters)
+    m = unpack_local_ba(m, pack, state_opt, pack.data)
+    return m, chi2s
+
+
+_jitted_lm_iterations = jax.jit(lm.lm_iterations, static_argnames=("n_iters",))
 
 
 def run_local_ba(m: ms.MapState, center_kf: int, cam, cfg):
-    """pack -> solve -> unpack.  Host-callable; everything inside is jitted."""
+    """pack -> solve -> unpack.  Host-callable; everything inside is jitted.
+
+    Factor-type toggles follow the reference's optimization flags
+    (Parameters.cc:43-48): the heterogeneous graph is only built when at
+    least one semantic term is enabled (LocalBACameraPlaneCuboids vs
+    LocalBundleAdjustment dispatch, LocalMapping.cc:92-110)."""
     caps = cfg.caps
+    fl = cfg.flags
     pack = pack_local_ba(
         m,
         center_kf,
@@ -161,6 +402,13 @@ def run_local_ba(m: ms.MapState, center_kf: int, cam, cfg):
         n_opt=caps.local_ba_keyframes,
         n_fixed=caps.local_ba_fixed_keyframes,
         n_local_pts=caps.local_ba_points,
+        use_planes=fl.optimize_with_plane_3d,
+        use_cub_2d=fl.optimize_with_cuboid_2d,
+        use_corners_2d=fl.optimize_with_corners_2d,
+        use_cub_3d=fl.optimize_with_cuboid_3d,
+        use_pt_obj=fl.optimize_with_pt_obj_3d,
+        use_cub_plane=fl.optimize_with_cuboid_plane,
+        pt_per_cub=caps.max_points_per_cuboid,
     )
     w = lm.BAWeights.from_config(cfg.ba)
     state_opt, data_out, chi2s = lm.local_ba(

@@ -52,6 +52,12 @@ class TrackingConfig:
     min_frames_between_kf: int = 0
     max_frames_between_kf: int = 30  # == fps
     reloc_min_inliers: int = 50  # Relocalization accept (Tracking.cc:1805)
+    # Metric anchor for monocular scale: the map is scaled so the median
+    # scene depth at initialization equals this value.  The reference anchors
+    # scale with GT ground height instead (enable_ground_height_scale,
+    # Tracking.cc:1335-1393); metric semantic measurements (planes/cuboids)
+    # only cohere with the map when this is calibrated.
+    init_median_depth: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -170,10 +176,16 @@ class Capacities:
     max_planes: int = 64
     max_cuboids: int = 32
     max_obs_per_point: int = 32
+    max_planes_per_frame: int = 16  # per-KF plane detections
+    max_cuboids_per_frame: int = 8  # per-KF cuboid detections
+    max_points_per_cuboid: int = 64  # owned-point list for point-obj factor
     local_ba_keyframes: int = 16  # optimized window
     local_ba_fixed_keyframes: int = 16  # fixed frontier
     local_ba_points: int = 4096
     pose_opt_points: int = 1024
+    vocab_words: int = 1024  # flat codebook size (place/vocab.py)
+    global_ba_keyframes: int = 64
+    global_ba_points: int = 8192
 
 
 @dataclass(frozen=True)

@@ -60,10 +60,15 @@ def so3_exp(w):
 
 
 def so3_log(R):
-    """Inverse of :func:`so3_exp`; safe at theta = 0 and robust near pi."""
+    """Inverse of :func:`so3_exp`; safe at theta = 0 and robust near pi.
+
+    theta is computed as arctan2(|antisym|, trace) rather than arccos so the
+    function stays DIFFERENTIABLE at theta = 0 — arccos has an infinite
+    derivative at 1 which poisons jacfwd-based factor linearization
+    (graph/factors.py) with NaNs.
+    """
     trace = jnp.trace(R, axis1=-2, axis2=-1)
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     # Antisymmetric part -> axis * sin(theta)
     v = jnp.stack(
         [
@@ -73,15 +78,17 @@ def so3_log(R):
         ],
         axis=-1,
     )
-    sin_t = jnp.sin(theta)
+    sin_t = 0.5 * jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-24)  # grad-safe at 0
+    theta = jnp.arctan2(sin_t, cos_t)
     small = theta < 1e-5
     near_pi = theta > jnp.pi - 1e-3
-    scale = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * sin_t + 1e-32))
+    sin_t_safe = jnp.where(small | near_pi, 1.0, sin_t)
+    scale = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * sin_t_safe))
     w_generic = scale[..., None] * v
     # Near pi the antisymmetric part vanishes; recover axis from symmetric part.
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
     axis2 = jnp.clip((diag - cos_t[..., None]) / (1.0 - cos_t[..., None] + 1e-32), 0.0, None)
-    axis = jnp.sqrt(axis2)
+    axis = jnp.sqrt(axis2 + 1e-12)  # eps keeps the gradient finite at 0
     # fix signs using off-diagonal sums
     sx = jnp.where(v[..., 0] >= 0, 1.0, -1.0)
     sy = jnp.where((R[..., 0, 1] + R[..., 1, 0]) * sx >= 0, sx, -sx)

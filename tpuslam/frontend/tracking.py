@@ -222,9 +222,17 @@ class Tracker:
     LOST = 2
 
     def __init__(self, cam: Camera, cfg: SlamConfig):
+        from ..place.loop import LoopCloser
+        from ..place.vocab import random_vocabulary
+
         self.cam = cam
         self.cfg = cfg
         self.map = ms.empty_map(cfg.caps)
+        self.loop_closer = (
+            LoopCloser(random_vocabulary(cfg.caps.vocab_words), cam, cfg)
+            if cfg.flags.enable_loop_closing
+            else None
+        )
         self.state = self.NOT_INITIALIZED
         self.n_kf = 0
         self.n_pt = 0
@@ -238,10 +246,14 @@ class Tracker:
         self.frames_since_kf = 0
         self.trajectory: list = []  # (frame_id, Tcw 4x4 np.ndarray)
         self.n_inliers = 0
+        self.n_plane = 0
+        self.n_cub = 0
+        self._pending_plane_det = None
+        self._pending_cuboid_det = None
 
     # -- public API ---------------------------------------------------------
 
-    def process_image(self, gray, frame_id):
+    def process_image(self, gray, frame_id, plane_det=None, cuboid_det=None):
         o = self.cfg.orb
         feats = orb.extract(
             jnp.asarray(gray, jnp.float32),
@@ -252,9 +264,15 @@ class Tracker:
             min_th=o.min_th_fast,
         )
         frame = frame_from_features(feats, self.cam)
-        return self.process_frame(frame, frame_id)
+        return self.process_frame(frame, frame_id, plane_det=plane_det, cuboid_det=cuboid_det)
 
-    def process_frame(self, frame: Frame, frame_id: int):
+    def process_frame(self, frame: Frame, frame_id: int, plane_det=None, cuboid_det=None):
+        """Track one frame.  ``plane_det`` / ``cuboid_det`` are optional
+        per-frame semantic detections (semantic/detect.py) consumed at the
+        next keyframe (DetectPlane/DetectCuboid run per-KF in the reference,
+        Tracking.cc:1315-1331)."""
+        self._pending_plane_det = plane_det
+        self._pending_cuboid_det = cuboid_det
         if self.state == self.NOT_INITIALIZED:
             self._monocular_initialization(frame, frame_id)
         else:
@@ -289,9 +307,10 @@ class Tracker:
         med = float(jnp.nanmedian(depths))
         if not np.isfinite(med) or med <= 0 or int(good.sum()) < 80:
             return
-        pts = res.points / med
+        scale = cfg.tracking.init_median_depth / med
+        pts = res.points * scale
         T1 = jnp.eye(4)
-        T2 = res.T_21.at[:3, 3].mul(1.0 / med)
+        T2 = res.T_21.at[:3, 3].mul(scale)
 
         N = frame.uv.shape[0]
         n_new = int(good.sum())
@@ -397,8 +416,35 @@ class Tracker:
         self.n_kf += 1
         self.ref_kf = slot
         self.frames_since_kf = 0
+        self._semantic_step(slot, kp_pt)
         self._local_mapping_step(slot)
+        if self.loop_closer is not None:
+            self.map, closed = self.loop_closer.on_keyframe(self.map, slot, self.n_kf)
+            if closed:
+                from ..backend.local_ba import run_global_ba
+
+                self.map, _ = run_global_ba(self.map, self.cam, self.cfg)
+                self.T_cur = self.map.kf_pose[slot]
+                self.velocity = jnp.eye(4)
         self.last_kp_pt = self.map.kf_pt[slot]
+
+    def _semantic_step(self, kf_slot: int, kp_pt):
+        """DetectPlane/AssociatePlanes + DetectCuboid/AssociateCuboids at
+        keyframe creation (Tracking.cc:1313-1334)."""
+        from ..semantic import associate as sa
+
+        fl = self.cfg.flags
+        if fl.detect_plane and self._pending_plane_det is not None:
+            self.map, self.n_plane = sa.associate_planes(
+                self.map, kf_slot, self._pending_plane_det, self.n_plane
+            )
+        if fl.detect_object and self._pending_cuboid_det is not None and self.n_kf > 2:
+            # the reference skips objects in the first two KFs (Tracking.cc:2102-2107)
+            self.map, self.n_cub = sa.associate_cuboids(
+                self.map, kf_slot, self._pending_cuboid_det, kp_pt, self.n_cub, self.cfg
+            )
+        self._pending_plane_det = None
+        self._pending_cuboid_det = None
 
     # -- local mapping (synchronous) -------------------------------------------
 

@@ -77,12 +77,87 @@ def make_room_scene(
     if with_cuboids:
         cuboids = np.array(
             [
-                [1.0, 1.2, 5.0, 0.0, 0.0, 0.3, 0.5, 0.4, 0.8],
-                [-2.0, 1.4, 6.0, 0.0, 0.0, -0.5, 0.6, 0.3, 0.6],
+                [1.2, 0.8, 5.5, 0.0, 0.0, 0.3, 0.9, 0.7, 0.9],
+                [-1.8, 0.9, 6.5, 0.0, 0.0, -0.5, 0.8, 0.6, 0.8],
             ],
             np.float32,
         )
     return SyntheticScene(points=points, desc=desc, poses=poses, planes=planes, cuboids=cuboids)
+
+
+def render_plane_detections(scene: SyntheticScene, frame_idx: int, cap: int, noise: float = 0.01, seed: int = 2):
+    """Camera-frame plane measurements from GT planes (stand-in for the
+    offline plane txt / online segmentation)."""
+    from ..semantic.detect import PlaneDetections
+
+    if scene.planes.shape[0] == 0:
+        return PlaneDetections.empty(cap)
+    rng = np.random.RandomState(seed * 7919 + frame_idx)
+    T = jnp.asarray(scene.poses[frame_idx])
+    world = jnp.asarray(scene.planes)
+    local = geo.plane_transform(T, geo.plane_normalize(world))
+    local = np.array(local)
+    coef = np.zeros((cap, 4), np.float32)
+    cent = np.zeros((cap, 3), np.float32)
+    valid = np.zeros(cap, bool)
+    n = min(len(local), cap)
+    for i in range(n):
+        c = local[i] + rng.randn(4).astype(np.float32) * noise
+        c = c / np.linalg.norm(c[:3])
+        if c[3] < 0:
+            c = -c
+        # only "see" planes facing the camera and within range
+        if abs(c[3]) > 12.0:
+            continue
+        coef[i] = c
+        valid[i] = True
+    return PlaneDetections(coef=jnp.asarray(coef), centroid=jnp.asarray(cent), valid=jnp.asarray(valid))
+
+
+def render_cuboid_detections(scene: SyntheticScene, frame_idx: int, cam: Camera, cap: int, noise: float = 0.02, seed: int = 3):
+    """Global-frame cuboid measurements converted with the GT camera pose —
+    exactly the reference's offline pipeline (Tracking.cc:2004-2060)."""
+    from ..semantic.detect import CuboidDetections
+
+    det = CuboidDetections.empty(cap)
+    if scene.cuboids.shape[0] == 0:
+        return det
+    rng = np.random.RandomState(seed * 104729 + frame_idx)
+    Twc = jnp.asarray(np.linalg.inv(scene.poses[frame_idx]))
+    Tcw = jnp.asarray(scene.poses[frame_idx])
+    lp, ls = np.array(det.local_pose), np.array(det.local_scale)
+    gp, gs = np.array(det.global_pose), np.array(det.global_scale)
+    bb, cc = np.array(det.bbox), np.array(det.corners)
+    ci, vv = np.array(det.classid), np.array(det.valid)
+    n = min(len(scene.cuboids), cap)
+    for i in range(n):
+        v9 = scene.cuboids[i].copy()
+        v9[:3] += rng.randn(3) * noise
+        v9[5] += rng.randn() * noise  # yaw only
+        v9[6:] += rng.randn(3) * noise * 0.5
+        pose_g, scale_g = geo.cuboid_from_minimal(jnp.asarray(v9, jnp.float32))
+        bbox = geo.cuboid_project_bbox(pose_g, scale_g, Tcw, cam.K)
+        # visibility: bbox fully inside frame
+        b = np.array(bbox)
+        if not (
+            b[0] - b[2] / 2 > 5 and b[1] - b[3] / 2 > 5
+            and b[0] + b[2] / 2 < cam.width - 5 and b[1] + b[3] / 2 < cam.height - 5
+        ):
+            continue
+        lp[i] = np.array(Tcw @ pose_g)
+        ls[i] = np.array(scale_g)
+        gp[i] = np.array(pose_g)
+        gs[i] = np.array(scale_g)
+        bb[i] = b
+        cc[i] = np.array(geo.cuboid_project_corners(pose_g, scale_g, Tcw, cam.K)).reshape(16)
+        ci[i] = i  # classname id == GT object index
+        vv[i] = True
+    return CuboidDetections(
+        local_pose=jnp.asarray(lp), local_scale=jnp.asarray(ls),
+        global_pose=jnp.asarray(gp), global_scale=jnp.asarray(gs),
+        bbox=jnp.asarray(bb), corners=jnp.asarray(cc),
+        classid=jnp.asarray(ci), quality=det.quality, valid=jnp.asarray(vv),
+    )
 
 
 def render_frame(

@@ -58,6 +58,29 @@ class MapState(NamedTuple):
     cub_class: jnp.ndarray  # (C,) int32 semantic class id
     cub_obs_count: jnp.ndarray  # (C,) int32
     cub_first_kf: jnp.ndarray  # (C,) int32
+    cub_last_kf: jnp.ndarray  # (C,) int32 most recent observing KF
+    cub_good: jnp.ndarray  # (C,) bool survived the outlier check
+    # per-KF plane detections (KeyFrame::mvPlaneCoefficients and the
+    # direct / vertical / parallel association slots, KeyFrame.h:231-247)
+    kf_plane_coef: jnp.ndarray  # (K, L, 4) camera-frame measurements
+    kf_plane_valid: jnp.ndarray  # (K, L) bool
+    kf_plane_map: jnp.ndarray  # (K, L) int32 direct map-plane id, -1 none
+    kf_plane_ver: jnp.ndarray  # (K, L) int32 vertical-relation plane id
+    kf_plane_par: jnp.ndarray  # (K, L) int32 parallel-relation plane id
+    # per-KF cuboid detections (KeyFrame::local_cuboids, KeyFrame.h:221-227)
+    kf_cub_local_pose: jnp.ndarray  # (K, O, 4, 4) measurement, camera frame
+    kf_cub_local_scale: jnp.ndarray  # (K, O, 3)
+    kf_cub_bbox: jnp.ndarray  # (K, O, 4) [cx, cy, w, h]
+    kf_cub_corners: jnp.ndarray  # (K, O, 16) projected corners
+    kf_cub_quality: jnp.ndarray  # (K, O) meas_quality
+    kf_cub_valid: jnp.ndarray  # (K, O) bool
+    kf_cub_map: jnp.ndarray  # (K, O) int32 associated cuboid landmark id
+    kf_kp_cub: jnp.ndarray  # (K, N) int32 frame-local cuboid idx per keypoint
+    # point -> cuboid landmark ownership (MapPoint::best_cuboid analogue)
+    pt_cub: jnp.ndarray  # (P,) int32 owning cuboid landmark, -1 none
+    pt_cub_votes: jnp.ndarray  # (P,) int32 vote count for that cuboid
+    # place recognition (KeyFrameDatabase inverted file analogue)
+    kf_bow: jnp.ndarray  # (K, W) tf-normalized BoW vectors
 
 
 def empty_map(caps: Capacities) -> MapState:
@@ -68,6 +91,8 @@ def empty_map(caps: Capacities) -> MapState:
         caps.max_planes,
         caps.max_cuboids,
     )
+    L = caps.max_planes_per_frame
+    O = caps.max_cuboids_per_frame
     eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K, 4, 4))
     return MapState(
         kf_pose=eye,
@@ -99,6 +124,24 @@ def empty_map(caps: Capacities) -> MapState:
         cub_class=jnp.full(C, -1, jnp.int32),
         cub_obs_count=jnp.zeros(C, jnp.int32),
         cub_first_kf=jnp.zeros(C, jnp.int32),
+        cub_last_kf=jnp.zeros(C, jnp.int32),
+        cub_good=jnp.zeros(C, bool),
+        kf_plane_coef=jnp.tile(jnp.array([[[0.0, 0.0, 1.0, 1.0]]], jnp.float32), (K, L, 1)),
+        kf_plane_valid=jnp.zeros((K, L), bool),
+        kf_plane_map=jnp.full((K, L), -1, jnp.int32),
+        kf_plane_ver=jnp.full((K, L), -1, jnp.int32),
+        kf_plane_par=jnp.full((K, L), -1, jnp.int32),
+        kf_cub_local_pose=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K, O, 4, 4)),
+        kf_cub_local_scale=jnp.ones((K, O, 3), jnp.float32),
+        kf_cub_bbox=jnp.zeros((K, O, 4), jnp.float32),
+        kf_cub_corners=jnp.zeros((K, O, 16), jnp.float32),
+        kf_cub_quality=jnp.full((K, O), 0.7, jnp.float32),
+        kf_cub_valid=jnp.zeros((K, O), bool),
+        kf_cub_map=jnp.full((K, O), -1, jnp.int32),
+        kf_kp_cub=jnp.full((K, N), -1, jnp.int32),
+        pt_cub=jnp.full(P, -1, jnp.int32),
+        pt_cub_votes=jnp.zeros(P, jnp.int32),
+        kf_bow=jnp.zeros((K, caps.vocab_words), jnp.float32),
     )
 
 

@@ -1,0 +1,86 @@
+"""TPU-resident visual vocabulary + BoW scoring.
+
+Replaces DBoW2's TemplatedVocabulary<FORB> (k-ary tree of learned ORB
+centroids, Thirdparty/DBoW2) with a flat codebook evaluated as ONE matmul on
+the MXU: descriptors are unpacked to ±1 vectors and word assignment is an
+argmax of dot products against the center matrix — O(N·W·256) MXU FLOPs
+instead of a per-descriptor tree walk.
+
+The reference ships a pre-trained vocabulary file (ORBvoc, System.cc:69-75);
+since this stack generates its own BRIEF pattern (kernels/orb.py), the
+codebook is (a) seeded deterministically from a PRNG — random centers are a
+valid LSH codebook for 256-bit binary codes — or (b) trained with
+:func:`train_kmeans` on descriptors from the target domain for extra
+discriminativeness.
+
+BoW vectors are tf-normalized word histograms; similarity is the dot product
+(DBoW2 L1 scoring analogue), so scoring a query against every keyframe is a
+single (K, W) @ (W,) matvec.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels.orb import unpack_descriptor_bits
+
+
+class Vocabulary(NamedTuple):
+    centers_pm1: jnp.ndarray  # (W, 256) float32 in {-1, +1}
+
+    @property
+    def n_words(self):
+        return self.centers_pm1.shape[0]
+
+
+def random_vocabulary(n_words: int = 1024, seed: int = 7) -> Vocabulary:
+    rng = np.random.RandomState(seed)
+    centers = (rng.rand(n_words, 256) > 0.5).astype(np.float32) * 2.0 - 1.0
+    return Vocabulary(centers_pm1=jnp.asarray(centers))
+
+
+def train_kmeans(descriptors_u32, n_words: int = 1024, n_iters: int = 8, seed: int = 7) -> Vocabulary:
+    """Binary k-means (majority-vote centroids) on packed descriptors."""
+    bits = unpack_descriptor_bits(jnp.asarray(descriptors_u32)) * 2.0 - 1.0  # (N, 256) ±1
+    n = bits.shape[0]
+    rng = np.random.RandomState(seed)
+    centers = bits[jnp.asarray(rng.choice(n, n_words, replace=n < n_words))]
+    for _ in range(n_iters):
+        sim = jnp.dot(bits, centers.T, preferred_element_type=jnp.float32)
+        assign = jnp.argmax(sim, axis=1)
+        sums = jnp.zeros((n_words, 256)).at[assign].add(bits)
+        counts = jnp.zeros((n_words,)).at[assign].add(1.0)
+        new_centers = jnp.where(sums >= 0, 1.0, -1.0)
+        centers = jnp.where((counts > 0)[:, None], new_centers, centers)
+    return Vocabulary(centers_pm1=centers)
+
+
+@jax.jit
+def assign_words(vocab: Vocabulary, desc_u32, valid):
+    """(N, 8) packed -> (N,) word ids (invalid -> -1)."""
+    bits = unpack_descriptor_bits(desc_u32) * 2.0 - 1.0
+    sim = jnp.dot(bits, vocab.centers_pm1.T, preferred_element_type=jnp.float32)
+    words = jnp.argmax(sim, axis=1).astype(jnp.int32)
+    return jnp.where(valid, words, -1)
+
+
+@jax.jit
+def bow_vector(vocab: Vocabulary, desc_u32, valid):
+    """tf-normalized word histogram, (W,) float32."""
+    W = vocab.n_words
+    words = assign_words(vocab, desc_u32, valid)
+    hist = jnp.zeros((W + 1,), jnp.float32).at[jnp.where(words >= 0, words, W)].add(1.0)[:W]
+    n = jnp.maximum(jnp.sum(hist), 1.0)
+    return hist / n
+
+
+@jax.jit
+def bow_scores(query_bow, db_bows, db_valid):
+    """Similarity of a query BoW against a (K, W) database: dot product."""
+    s = jnp.dot(db_bows, query_bow, preferred_element_type=jnp.float32)
+    return jnp.where(db_valid, s, -1.0)

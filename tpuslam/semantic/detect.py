@@ -1,0 +1,156 @@
+"""Offline semantic detection inputs (planes, cuboids, 2D bboxes).
+
+The reference consumes per-frame detection text files (the detectors run
+offline): plane rows ``[id nx ny nz d cx cy cz num]``
+(Tracking.cc:2354-2377), cuboid rows ``classname x y z roll pitch yaw sx sy
+sz`` read with ``read_obj_detection_txt`` (Tracking.cc:1991-1997,
+matrix_utils.h:28-40), and YOLO bbox rows ``classname x1 y1 w h prob``
+(Tracking.cc:1980-1986).  Cuboid measurements are converted from the global
+frame to the camera frame using the GT camera pose of the frame
+(Tracking.cc:2004-2022) and the 2D bbox/corners come from projecting the
+global cuboid with that pose (the reference distrusts the YOLO bbox,
+Tracking.cc:2030-2035).
+
+Same contract here, plus an in-memory path for synthetic tests.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import geometry as geo
+
+
+class PlaneDetections(NamedTuple):
+    """Per-frame plane measurements in the CAMERA frame, padded to L."""
+
+    coef: jnp.ndarray  # (L, 4) Hessian form, d >= 0
+    centroid: jnp.ndarray  # (L, 3)
+    valid: jnp.ndarray  # (L,) bool
+
+    @staticmethod
+    def empty(l):
+        return PlaneDetections(
+            coef=jnp.tile(jnp.array([[0.0, 0.0, 1.0, 1.0]], jnp.float32), (l, 1)),
+            centroid=jnp.zeros((l, 3), jnp.float32),
+            valid=jnp.zeros(l, bool),
+        )
+
+
+class CuboidDetections(NamedTuple):
+    """Per-frame cuboid measurements, padded to O."""
+
+    local_pose: jnp.ndarray  # (O, 4, 4) object->camera
+    local_scale: jnp.ndarray  # (O, 3)
+    global_pose: jnp.ndarray  # (O, 4, 4) object->world (via GT pose)
+    global_scale: jnp.ndarray  # (O, 3)
+    bbox: jnp.ndarray  # (O, 4) [cx, cy, w, h]
+    corners: jnp.ndarray  # (O, 16) projected corner pixels
+    classid: jnp.ndarray  # (O,) int32
+    quality: jnp.ndarray  # (O,) meas_quality (0.7 default)
+    valid: jnp.ndarray  # (O,) bool
+
+    @staticmethod
+    def empty(o):
+        eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (o, 4, 4))
+        return CuboidDetections(
+            local_pose=eye,
+            local_scale=jnp.ones((o, 3), jnp.float32),
+            global_pose=eye,
+            global_scale=jnp.ones((o, 3), jnp.float32),
+            bbox=jnp.zeros((o, 4), jnp.float32),
+            corners=jnp.zeros((o, 16), jnp.float32),
+            classid=jnp.full(o, -1, jnp.int32),
+            quality=jnp.full(o, 0.7, jnp.float32),
+            valid=jnp.zeros(o, bool),
+        )
+
+
+def read_offline_planes(path: str, cap: int) -> PlaneDetections:
+    """Read a ``*_offline_plane_multiplane.txt`` file: rows
+    ``[id nx ny nz d cx cy cz num]`` (Tracking.cc:2354-2377)."""
+    if not os.path.exists(path):
+        return PlaneDetections.empty(cap)
+    rows = np.loadtxt(path, ndmin=2, dtype=np.float64)
+    if rows.size == 0:
+        return PlaneDetections.empty(cap)
+    coef = np.zeros((cap, 4), np.float32)
+    cent = np.zeros((cap, 3), np.float32)
+    valid = np.zeros(cap, bool)
+    n = min(len(rows), cap)
+    for i in range(n):
+        c = rows[i, 1:5].astype(np.float32)
+        if c[3] < 0:
+            c = -c
+        coef[i] = c
+        cent[i] = rows[i, 5:8]
+        valid[i] = True
+    return PlaneDetections(coef=jnp.asarray(coef), centroid=jnp.asarray(cent), valid=jnp.asarray(valid))
+
+
+_CLASSNAME_IDS: dict = {}
+
+
+def classname_to_id(name: str) -> int:
+    """Stable integer ids for detection class names (association by
+    classname, Tracking.cc:2168-2217, compares the strings directly)."""
+    if name not in _CLASSNAME_IDS:
+        _CLASSNAME_IDS[name] = len(_CLASSNAME_IDS)
+    return _CLASSNAME_IDS[name]
+
+
+def read_obj_detection_txt(path: str):
+    """``classname v1 v2 ...`` rows (matrix_utils read_obj_detection_txt)."""
+    names, vals = [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            names.append(parts[0])
+            vals.append([float(x) for x in parts[1:]])
+    return names, np.asarray(vals, np.float64)
+
+
+def read_offline_cuboids(path: str, truth_Twc: np.ndarray, K: np.ndarray, cap: int) -> CuboidDetections:
+    """Read per-frame global cuboids and convert to camera-frame measurements
+    with the GT camera pose (Tracking.cc:2004-2060).
+
+    ``truth_Twc``: (4, 4) camera-to-world GT pose of this frame.
+    """
+    if not os.path.exists(path):
+        return CuboidDetections.empty(cap)
+    names, rows = read_obj_detection_txt(path)
+    det = CuboidDetections.empty(cap)
+    if rows.size == 0:
+        return det
+    n = min(len(rows), cap)
+    Twc = jnp.asarray(truth_Twc, jnp.float32)
+    Tcw = geo.se3_inv(Twc)
+    Kj = jnp.asarray(K, jnp.float32)
+    lp, ls, gp, gs, bb, cc, ci, vv = (
+        np.array(det.local_pose), np.array(det.local_scale), np.array(det.global_pose),
+        np.array(det.global_scale), np.array(det.bbox), np.array(det.corners),
+        np.array(det.classid), np.array(det.valid),
+    )
+    for i in range(n):
+        v9 = jnp.asarray(rows[i, -9:], jnp.float32)
+        pose_g, scale_g = geo.cuboid_from_minimal(v9)
+        pose_l = Tcw @ pose_g  # transform_to(Twc) (g2o_cuboid.h:134-140)
+        bbox = geo.cuboid_project_bbox(pose_g, scale_g, Tcw, Kj)
+        corners = geo.cuboid_project_corners(pose_g, scale_g, Tcw, Kj).reshape(16)
+        lp[i], ls[i] = np.array(pose_l), np.array(scale_g)
+        gp[i], gs[i] = np.array(pose_g), np.array(scale_g)
+        bb[i], cc[i] = np.array(bbox), np.array(corners)
+        ci[i] = classname_to_id(names[i])
+        vv[i] = True
+    return CuboidDetections(
+        local_pose=jnp.asarray(lp), local_scale=jnp.asarray(ls),
+        global_pose=jnp.asarray(gp), global_scale=jnp.asarray(gs),
+        bbox=jnp.asarray(bb), corners=jnp.asarray(cc),
+        classid=jnp.asarray(ci), quality=det.quality, valid=jnp.asarray(vv),
+    )
