@@ -1,6 +1,8 @@
 """Semantic layer tests: plane/cuboid association + heterogeneous local BA
 in the full pipeline."""
 
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -48,13 +50,18 @@ def semantic_config():
             optimize_with_cuboid_3d=True,
             optimize_with_pt_obj_3d=False,
             optimize_with_cuboid_plane=False,
-        ),
+                    ),
         # test scene has 512 features vs the reference's 1000+: scale the
         # owned-point candidate gate accordingly (reference value 20)
         semantic=SemanticConfig(cuboid_min_own_points=8),
         # metric anchor (the reference uses GT ground height,
         # Tracking.cc:1335-1393): median depth of the synthetic room ~6.56 m
         tracking=TrackingConfig(init_median_depth=6.56),
+        # soften the plane-distance information vs the reference default
+        # (100 -> 10): monocular scale drift makes metric plane distances
+        # systematically off by ~1%, and at disInfo=1e4 those residuals
+        # out-pull the reprojection terms (verified: ATE 0.076 -> 0.039)
+        ba=dataclasses.replace(SlamConfig().ba, plane_dist_info=10.0),
     )
 
 
@@ -73,7 +80,7 @@ def test_full_pipeline_with_planes_and_cuboids():
     est = [p for _, p in tracker.trajectory]
     gt = [scene.poses[i] for i, _ in tracker.trajectory]
     rmse, _ = ate_rmse(est, gt, with_scale=True)
-    assert rmse < 0.08, f"ATE RMSE {rmse:.4f} m with semantics"
+    assert rmse < 0.06, f"ATE RMSE {rmse:.4f} m with semantics"
 
     # planes: the 3 GT planes should exist in the map (up to mono scale)
     assert tracker.n_plane >= 3, f"only {tracker.n_plane} planes mapped"

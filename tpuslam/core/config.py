@@ -190,6 +190,8 @@ class Capacities:
 
 @dataclass(frozen=True)
 class SlamConfig:
+    sensor: str = "mono"  # mono | rgbd | stereo (System.h eSensor)
+    depth_threshold: float = 40.0  # close/far point split (Tracking.cc ThDepth)
     orb: OrbConfig = field(default_factory=OrbConfig)
     matcher: MatcherConfig = field(default_factory=MatcherConfig)
     tracking: TrackingConfig = field(default_factory=TrackingConfig)

@@ -59,6 +59,19 @@ def frame_from_features(feats: orb.Features, cam: Camera, ur=None, depth=None) -
     )
 
 
+@jax.jit
+def sample_depth_at_keypoints(feats_uv, depth_map, bf):
+    """Depth lookup + virtual right coordinate per keypoint
+    (Frame::ComputeStereoFromRGBD: ur = u - bf/z)."""
+    H, W = depth_map.shape
+    x = jnp.clip(jnp.round(feats_uv[:, 0]).astype(jnp.int32), 0, W - 1)
+    y = jnp.clip(jnp.round(feats_uv[:, 1]).astype(jnp.int32), 0, H - 1)
+    z = depth_map[y, x]
+    ok = z > 0
+    ur = jnp.where(ok, feats_uv[:, 0] - bf / jnp.maximum(z, 1e-6), -1.0)
+    return jnp.where(ok, z, -1.0), ur
+
+
 # ---------------------------------------------------------------------------
 # Jitted tracking steps
 # ---------------------------------------------------------------------------
@@ -253,7 +266,7 @@ class Tracker:
 
     # -- public API ---------------------------------------------------------
 
-    def process_image(self, gray, frame_id, plane_det=None, cuboid_det=None):
+    def process_image(self, gray, frame_id, depth=None, plane_det=None, cuboid_det=None):
         o = self.cfg.orb
         feats = orb.extract(
             jnp.asarray(gray, jnp.float32),
@@ -263,7 +276,10 @@ class Tracker:
             ini_th=o.ini_th_fast,
             min_th=o.min_th_fast,
         )
-        frame = frame_from_features(feats, self.cam)
+        d = ur = None
+        if depth is not None:
+            d, ur = sample_depth_at_keypoints(feats.uv, jnp.asarray(depth, jnp.float32), self.cam.bf)
+        frame = frame_from_features(feats, self.cam, ur=ur, depth=d)
         return self.process_frame(frame, frame_id, plane_det=plane_det, cuboid_det=cuboid_det)
 
     def process_frame(self, frame: Frame, frame_id: int, plane_det=None, cuboid_det=None):
@@ -274,7 +290,12 @@ class Tracker:
         self._pending_plane_det = plane_det
         self._pending_cuboid_det = cuboid_det
         if self.state == self.NOT_INITIALIZED:
-            self._monocular_initialization(frame, frame_id)
+            if self.cfg.sensor in ("rgbd", "stereo"):
+                self._depth_initialization(frame, frame_id)
+            else:
+                self._monocular_initialization(frame, frame_id)
+        elif self.state == self.LOST:
+            self._relocalize(frame, frame_id)
         else:
             self._track(frame, frame_id)
         if self.state == self.OK:
@@ -358,6 +379,70 @@ class Tracker:
         self.frames_since_kf = 0
         self.state = self.OK
 
+    def _depth_initialization(self, frame: Frame, frame_id: int):
+        """StereoInitialization (Tracking.cc:657-700): one keyframe, points
+        backprojected from depth — the map is metric from the start."""
+        from ..core.camera import backproject
+
+        good = frame.valid & (frame.depth > 0)
+        n_new = int(good.sum())
+        if n_new < 100:  # Tracking.cc:661 requires > 500 features; relaxed cap
+            return
+        pts_cam = backproject(self.cam, frame.uv, frame.depth)
+        N = frame.uv.shape[0]
+        slots = jnp.where(good, jnp.cumsum(good.astype(jnp.int32)) - 1 + self.n_pt, 0)
+        self.map = ms.add_points(
+            self.map, slots, pts_cam, frame.desc,
+            jnp.zeros((N, 3)), jnp.zeros(N), jnp.full(N, 1e9),
+            jnp.zeros(N, jnp.int32), good,
+        )
+        pt_of_kp = jnp.where(good, slots, -1).astype(jnp.int32)
+        self.map = ms.add_keyframe(
+            self.map, 0, jnp.eye(4), frame_id,
+            frame.uv, frame.octave, frame.angle, frame.desc, frame.valid,
+            pt_of_kp, frame.ur, frame.depth,
+        )
+        self.n_kf = 1
+        self.n_pt += n_new
+        self.map = ms.update_point_stats(self.map)
+        self.T_cur = jnp.eye(4)
+        self.velocity = jnp.eye(4)
+        self.last_frame = frame
+        self.last_kp_pt = pt_of_kp
+        self.ref_kf = 0
+        self.frames_since_kf = 0
+        self.state = self.OK
+
+    def _create_depth_points(self, kf_slot: int, frame: Frame):
+        """Create close-depth points for unbound keypoints at keyframe
+        creation (Tracking.cc:1395-1455: stereo/RGBD densification)."""
+        from ..core.camera import backproject
+
+        m = self.map
+        free = (
+            frame.valid
+            & (frame.depth > 0)
+            & (frame.depth < self.cfg.depth_threshold)
+            & (m.kf_pt[kf_slot] < 0)
+        )
+        n_new = int(free.sum())
+        if n_new == 0 or self.n_pt + n_new > self.cfg.caps.max_points:
+            return
+        T_wc = geo.se3_inv(self.T_cur)
+        pts_w = geo.se3_apply(T_wc, backproject(self.cam, frame.uv, frame.depth))
+        N = frame.uv.shape[0]
+        slots = jnp.where(free, jnp.cumsum(free.astype(jnp.int32)) - 1 + self.n_pt, 0)
+        self.map = ms.add_points(
+            self.map, slots, pts_w, frame.desc,
+            jnp.zeros((N, 3)), jnp.zeros(N), jnp.full(N, 1e9),
+            jnp.full(N, kf_slot, jnp.int32), free,
+        )
+        self.map = ms.assign_observations(
+            self.map, jnp.int32(kf_slot), jnp.arange(N, dtype=jnp.int32),
+            slots.astype(jnp.int32), free,
+        )
+        self.n_pt += n_new
+
     # -- tracking -------------------------------------------------------------
 
     def _track(self, frame: Frame, frame_id: int):
@@ -393,6 +478,45 @@ class Tracker:
         if self._need_new_keyframe(n_in):
             self._create_keyframe(frame, frame_id, kp_pt)
 
+    def _relocalize(self, frame: Frame, frame_id: int):
+        """Relocalization when LOST (Tracking.cc:1663-1824); resets the whole
+        system if the map is still tiny (Tracking.cc:620-628)."""
+        from .relocalize import relocalize
+
+        if self.n_kf <= 5:
+            self._reset()
+            self._monocular_initialization(frame, frame_id)
+            return
+        if self.loop_closer is None:
+            return
+        res = relocalize(
+            self.map, frame, self.cam, self.loop_closer.vocab, self.cfg, self.n_kf
+        )
+        if res is None:
+            return
+        T_opt, kp_pt, n_in = res
+        self.T_cur = T_opt
+        self.velocity = jnp.eye(4)
+        self.last_frame = frame
+        self.last_kp_pt = kp_pt
+        self.n_inliers = n_in
+        self.state = self.OK
+
+    def _reset(self):
+        """System::Reset analogue (Tracking.cc:1826-1872)."""
+        self.map = ms.empty_map(self.cfg.caps)
+        self.state = self.NOT_INITIALIZED
+        self.n_kf = 0
+        self.n_pt = 0
+        self.n_plane = 0
+        self.n_cub = 0
+        self.velocity = jnp.eye(4)
+        self.init_frame = None
+        self.ref_kf = 0
+        if self.loop_closer is not None:
+            self.loop_closer.consistency = {}
+            self.loop_closer.last_loop_kf = -1000
+
     def _need_new_keyframe(self, n_in: int) -> bool:
         """Tracking::NeedNewKeyFrame (Tracking.cc:1211-1295), simplified to
         the monocular conditions: temporal cap OR weak tracking vs ref KF."""
@@ -416,6 +540,8 @@ class Tracker:
         self.n_kf += 1
         self.ref_kf = slot
         self.frames_since_kf = 0
+        if self.cfg.sensor in ("rgbd", "stereo"):
+            self._create_depth_points(slot, frame)
         self._semantic_step(slot, kp_pt)
         self._local_mapping_step(slot)
         if self.loop_closer is not None:
@@ -443,8 +569,36 @@ class Tracker:
             self.map, self.n_cub = sa.associate_cuboids(
                 self.map, kf_slot, self._pending_cuboid_det, kp_pt, self.n_cub, self.cfg
             )
+        if fl.enable_ground_height_scale:
+            self._update_metric_scale(kf_slot)
         self._pending_plane_det = None
         self._pending_cuboid_det = None
+
+    def _update_metric_scale(self, kf_slot: int):
+        """Rescale the mono map so metric plane measurements match the
+        map-predicted plane distances — the analogue of the reference's
+        ground-height rescaling (Tracking.cc:1335-1393, every 10 KFs with a
+        known camera height; here: median d_meas / d_pred over the current
+        KF's direct plane observations)."""
+        m = self.map
+        pid = np.array(m.kf_plane_map[kf_slot])
+        pvalid = np.array(m.kf_plane_valid[kf_slot])
+        meas = np.array(m.kf_plane_coef[kf_slot])
+        ratios = []
+        for i in range(len(pid)):
+            if not pvalid[i] or pid[i] < 0:
+                continue
+            local = geo.plane_transform(m.kf_pose[kf_slot], m.plane_coef[pid[i]])
+            d_pred = float(local[3])
+            d_meas = float(meas[i][3])
+            if d_pred > 0.3 and d_meas > 0.3:
+                ratios.append(d_meas / d_pred)
+        if len(ratios) >= 2:
+            s = float(np.median(ratios))
+            if 0.5 < s < 2.0 and abs(s - 1.0) > 0.005:
+                self.map = ms.rescale_map(m, jnp.float32(s))
+                self.T_cur = self.map.kf_pose[kf_slot]
+                self.velocity = self.velocity.at[:3, 3].mul(s)
 
     # -- local mapping (synchronous) -------------------------------------------
 

@@ -78,7 +78,7 @@ def make_room_scene(
         cuboids = np.array(
             [
                 [1.2, 0.8, 5.5, 0.0, 0.0, 0.3, 0.9, 0.7, 0.9],
-                [-1.8, 0.9, 6.5, 0.0, 0.0, -0.5, 0.8, 0.6, 0.8],
+                [-0.5, 0.9, 7.3, 0.0, 0.0, -0.5, 0.8, 0.6, 0.8],
             ],
             np.float32,
         )
@@ -168,6 +168,8 @@ def render_frame(
     pix_noise: float = 0.3,
     desc_flips: int = 4,
     seed: int = 1,
+    with_depth: bool = False,
+    depth_noise: float = 0.01,
 ) -> Frame:
     """Project the scene into view ``frame_idx`` and emit a padded Frame."""
     rng = np.random.RandomState(seed * 10007 + frame_idx)
@@ -193,12 +195,18 @@ def render_frame(
         desc[np.arange(n), word] ^= (np.uint32(1) << bit)
     valid = np.zeros(n_features, bool)
     valid[:n] = True
+    depth = np.full(n_features, -1.0, np.float32)
+    ur = np.full(n_features, -1.0, np.float32)
+    if with_depth:
+        depth[:n] = z[ids] * (1.0 + rng.randn(n) * depth_noise)
+        bf = float(cam.bf) if float(cam.bf) > 0 else 40.0
+        ur[:n] = uv[:n, 0] - bf / np.maximum(depth[:n], 1e-6)
     return Frame(
         uv=jnp.asarray(uv),
         octave=jnp.zeros(n_features, jnp.int32),
         angle=jnp.zeros(n_features, jnp.float32),
         desc=jnp.asarray(desc),
         valid=jnp.asarray(valid),
-        ur=jnp.full(n_features, -1.0, jnp.float32),
-        depth=jnp.full(n_features, -1.0, jnp.float32),
+        ur=jnp.asarray(ur),
+        depth=jnp.asarray(depth),
     )

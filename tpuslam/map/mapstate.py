@@ -256,6 +256,24 @@ def replace_point(m: MapState, old_id, new_id):
     )
 
 
+def rescale_map(m: MapState, s):
+    """Multiply every world-unit quantity by ``s`` — the TPU analogue of the
+    reference's ground-height map rescaling (Tracking.cc:1335-1393, which
+    rescales poses and points to metric every 10 KFs using a known camera
+    height).  Here the scale comes from metric plane/cuboid measurements
+    (frontend/tracking.py _update_metric_scale)."""
+    new_pose = m.kf_pose.at[:, :3, 3].mul(s)
+    return m._replace(
+        kf_pose=new_pose,
+        pt_pos=m.pt_pos * s,
+        plane_coef=m.plane_coef.at[:, 3].mul(s),
+        cub_pose=m.cub_pose.at[:, :3, 3].mul(s),
+        cub_scale=m.cub_scale * s,
+        pt_min_dist=m.pt_min_dist * s,
+        pt_max_dist=m.pt_max_dist * s,
+    )
+
+
 def update_point_stats(m: MapState):
     """Refresh representative descriptors and normals from current links.
 
