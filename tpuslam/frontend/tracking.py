@@ -282,6 +282,29 @@ class Tracker:
         frame = frame_from_features(feats, self.cam, ur=ur, depth=d)
         return self.process_frame(frame, frame_id, plane_det=plane_det, cuboid_det=cuboid_det)
 
+    def process_stereo_pair(self, gray_l, gray_r, frame_id, plane_det=None, cuboid_det=None):
+        """Stereo entry point (System::TrackStereo, System.cc:135-180):
+        ORB on both images, left-right match (Frame::ComputeStereoMatches)
+        to get per-keypoint depth, then the common tracking path."""
+        from ..kernels import stereo as ks
+
+        o = self.cfg.orb
+        kw = dict(
+            n_features=o.n_features, n_levels=o.n_levels, scale_factor=o.scale_factor,
+            ini_th=o.ini_th_fast, min_th=o.min_th_fast,
+        )
+        gl = jnp.asarray(gray_l, jnp.float32)
+        gr = jnp.asarray(gray_r, jnp.float32)
+        fl = orb.extract(gl, **kw)
+        fr = orb.extract(gr, **kw)
+        ur, depth, ok = ks.compute_stereo_matches(
+            gl, gr, fl.uv, fl.octave, fl.desc, fl.valid,
+            fr.uv, fr.octave, fr.desc, fr.valid,
+            bf=self.cam.bf, fx=self.cam.fx,
+        )
+        frame = frame_from_features(fl, self.cam, ur=ur, depth=depth)
+        return self.process_frame(frame, frame_id, plane_det=plane_det, cuboid_det=cuboid_det)
+
     def process_frame(self, frame: Frame, frame_id: int, plane_det=None, cuboid_det=None):
         """Track one frame.  ``plane_det`` / ``cuboid_det`` are optional
         per-frame semantic detections (semantic/detect.py) consumed at the
