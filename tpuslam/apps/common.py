@@ -1,0 +1,153 @@
+"""Shared CLI runner for the dataset apps.
+
+The reference ships one near-identical main() per dataset
+(Examples/Monocular/mono_tum.cc, mono_kitti.cc, mono_euroc.cc,
+Examples/Stereo/stereo_kitti.cc, stereo_euroc.cc, Examples/RGB-D/
+rgbd_tum.cc, rgbd_icl_test.cc — each ~200 lines of frame loop + timing +
+trajectory save).  Here that loop lives once; each app binds a dataset
+loader and a sensor mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from ..core.camera import Camera
+from ..core.config import SlamConfig
+from ..core import geometry as geo
+from ..frontend.tracking import Tracker
+from ..io.datasets import load_settings_yaml
+from ..io.trajectory import ate_rmse, save_cuboids, save_kitti, save_planes, save_tum
+from ..utils.profiler import Profiler
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=description)
+    ap.add_argument("folder", help="dataset sequence folder")
+    ap.add_argument("--settings", default="", help="settings YAML (reference-format)")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--out", default=".", help="output directory")
+    ap.add_argument("--save-kitti", action="store_true", help="also dump KITTI-format trajectory")
+    ap.add_argument("--checkpoint", default="", help="save a map checkpoint here at the end")
+    ap.add_argument("--resume", default="", help="resume from a map checkpoint")
+    ap.add_argument(
+        "--features", type=int, default=0,
+        help="ORB features per frame (scales all map capacities; default 1024)",
+    )
+    return ap
+
+
+def apply_features(cfg: SlamConfig, n: int) -> SlamConfig:
+    """Scale the padded capacities for a requested feature budget."""
+    if n <= 0:
+        return cfg
+    import dataclasses
+
+    caps = dataclasses.replace(
+        cfg.caps,
+        max_keypoints=n,
+        max_points=max(4 * n, 4096),
+        local_ba_points=max(2 * n, 2048),
+    )
+    orb = dataclasses.replace(cfg.orb, n_features=n)
+    return cfg.replace(caps=caps, orb=orb)
+
+
+def camera_from_args(args, default_cam: Camera):
+    if args.settings:
+        path = (
+            args.settings
+            if os.path.exists(args.settings)
+            else os.path.join(args.folder, args.settings)
+        )
+        if os.path.exists(path):
+            return load_settings_yaml(path)
+    return default_cam, {}
+
+
+def make_tracker(args, cam: Camera, cfg: SlamConfig) -> Tracker:
+    if args.resume:
+        from ..io.checkpoint import load_tracker
+
+        return load_tracker(args.resume, cam, cfg)
+    return Tracker(cam, cfg)
+
+
+def run_loop(tracker: Tracker, items, sensor: str, prof: Profiler, per_frame=None):
+    """Drive the tracker over a SequenceItem iterator.  ``per_frame`` may
+    return (plane_det, cuboid_det) for semantic keyframe input."""
+    frame_times = []
+    for item in items:
+        t0 = time.perf_counter()
+        pdet = cdet = None
+        if per_frame is not None:
+            pdet, cdet = per_frame(item)
+        with prof.section("time single frame"):
+            if sensor == "stereo" and item.right is not None:
+                tracker.process_stereo_pair(
+                    item.gray, item.right, item.frame_id, plane_det=pdet, cuboid_det=cdet
+                )
+            else:
+                tracker.process_image(
+                    item.gray, item.frame_id,
+                    depth=item.depth if sensor == "rgbd" else None,
+                    plane_det=pdet, cuboid_det=cdet,
+                )
+        frame_times.append(time.perf_counter() - t0)
+    return frame_times
+
+
+def finish(tracker: Tracker, args, frame_times, gt=None, stamps_by_fid=None, metric=False):
+    """Trajectory / cuboid / plane dumps + JSON report (the reference's
+    SaveKeyFrameTrajectoryTUM + SaveCuboidOptimized + SavePlaneOptimized,
+    System.cc:341-549, and the timing print, mono_icl_test.cc:134-151)."""
+    out = args.out
+    os.makedirs(out, exist_ok=True)
+    fids = [fid for fid, _ in tracker.trajectory]
+    poses = [p for _, p in tracker.trajectory]
+    stamps = [stamps_by_fid[f] for f in fids] if stamps_by_fid else fids
+    save_tum(os.path.join(out, "KeyFrameTrajectory.txt"), stamps, poses)
+    if args.save_kitti:
+        save_kitti(os.path.join(out, "CameraTrajectory_kitti.txt"), poses)
+    if tracker.n_cub > 0:
+        save_cuboids(
+            os.path.join(out, "CuboidPose.txt"),
+            [
+                np.asarray(geo.cuboid_to_minimal(tracker.map.cub_pose[i], tracker.map.cub_scale[i]))
+                for i in range(tracker.n_cub)
+            ],
+        )
+    if tracker.n_plane > 0:
+        save_planes(
+            os.path.join(out, "PlanePose.txt"),
+            [np.array(tracker.map.plane_coef[i]) for i in range(tracker.n_plane)],
+        )
+    if args.checkpoint:
+        from ..io.checkpoint import save_tracker
+
+        save_tracker(args.checkpoint, tracker)
+
+    ft = np.array(frame_times)
+    report = {
+        "frames": len(ft),
+        "tracked": len(tracker.trajectory),
+        "keyframes": tracker.n_kf,
+        "points": tracker.n_pt,
+        "planes": tracker.n_plane,
+        "cuboids": tracker.n_cub,
+        "median_frame_s": float(np.median(ft)) if len(ft) else None,
+        "mean_frame_s": float(ft.mean()) if len(ft) else None,
+    }
+    if gt is not None and tracker.trajectory:
+        gts = [gt[fid] for fid in fids if fid < len(gt)]
+        est = [p for (fid, p) in tracker.trajectory if fid < len(gt)]
+        if est:
+            rmse, _ = ate_rmse(est, gts, with_scale=not metric)
+            report["ate_rmse_m"] = float(rmse)
+    print(json.dumps(report))
+    return report

@@ -1,0 +1,39 @@
+"""Stereo EuRoC MAV runner — parity with Examples/Stereo/stereo_euroc.cc
+(minus live rectification: images are assumed pre-rectified, see
+EurocDataset docstring).
+
+Usage:
+  python -m tpuslam.apps.stereo_euroc <sequence_root> [--settings EuRoC.yaml]
+      [--max-frames N] [--out DIR]
+"""
+
+from __future__ import annotations
+
+from ..core.camera import Camera
+from ..core.config import SlamConfig
+from ..io.datasets import EurocDataset
+from ..utils.profiler import Profiler
+from . import common
+
+
+def main(argv=None):
+    ap = common.base_parser(__doc__)
+    args = ap.parse_args(argv)
+    # bf = fx * 0.11 m baseline (EuRoC.yaml Camera.bf = 47.9)
+    cam, _ = common.camera_from_args(
+        args, Camera.make(458.654, 457.296, 367.215, 248.375, width=752, height=480, bf=47.9)
+    )
+    cfg = SlamConfig().replace(sensor="stereo")
+    ds = EurocDataset(args.folder, max_frames=args.max_frames)
+    gt = ds.gt_poses()
+    cfg = common.apply_features(cfg, args.features)
+    tracker = common.make_tracker(args, cam, cfg)
+    prof = Profiler()
+    ft = common.run_loop(tracker, ds.frames(stereo=True), "stereo", prof)
+    report = common.finish(tracker, args, ft, gt=gt, metric=True)
+    prof.print_aggregated()
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,7 @@ from dataclasses import dataclass, field
 class OrbConfig:
     """ORB extractor settings (reference: ORBextractor.cc ctor + ICL.yaml)."""
 
-    n_features: int = 1000
+    n_features: int = 1024  # padded TPU-friendly default; must equal caps.max_keypoints
     scale_factor: float = 1.2
     n_levels: int = 8
     ini_th_fast: int = 20  # ORBextractor.cc threshold fallback 20 -> 7

@@ -266,7 +266,16 @@ class Tracker:
 
     # -- public API ---------------------------------------------------------
 
+    def _check_feature_caps(self):
+        if self.cfg.orb.n_features != self.cfg.caps.max_keypoints:
+            raise ValueError(
+                f"cfg.orb.n_features ({self.cfg.orb.n_features}) must equal "
+                f"cfg.caps.max_keypoints ({self.cfg.caps.max_keypoints}): the "
+                "map's per-keyframe arrays are padded to max_keypoints"
+            )
+
     def process_image(self, gray, frame_id, depth=None, plane_det=None, cuboid_det=None):
+        self._check_feature_caps()
         o = self.cfg.orb
         feats = orb.extract(
             jnp.asarray(gray, jnp.float32),
@@ -288,6 +297,7 @@ class Tracker:
         to get per-keypoint depth, then the common tracking path."""
         from ..kernels import stereo as ks
 
+        self._check_feature_caps()
         o = self.cfg.orb
         kw = dict(
             n_features=o.n_features, n_levels=o.n_levels, scale_factor=o.scale_factor,

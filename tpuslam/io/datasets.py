@@ -27,6 +27,7 @@ class SequenceItem:
     gray: np.ndarray  # (H, W) float32 [0, 255]
     depth: Optional[np.ndarray] = None  # (H, W) float32 metres, None if mono
     rgb_path: str = ""
+    right: Optional[np.ndarray] = None  # (H, W) float32 right image (stereo)
 
 
 def _imread_gray(path):
@@ -126,6 +127,7 @@ class KittiOdometryDataset:
 
     def frames(self, stereo: bool = False):
         left_dir = os.path.join(self.folder, "image_0")
+        right_dir = os.path.join(self.folder, "image_1")
         names = sorted(os.listdir(left_dir))
         n = len(names) if self.max_frames <= 0 else min(self.max_frames, len(names))
         times = np.loadtxt(os.path.join(self.folder, "times.txt")) if os.path.exists(
@@ -133,7 +135,68 @@ class KittiOdometryDataset:
         ) else np.arange(n) * 0.1
         for i in range(n):
             gray = _imread_gray(os.path.join(left_dir, names[i]))
-            yield SequenceItem(i, float(times[i]), gray, None, names[i])
+            right = (
+                _imread_gray(os.path.join(right_dir, names[i]))
+                if stereo and os.path.exists(os.path.join(right_dir, names[i]))
+                else None
+            )
+            yield SequenceItem(i, float(times[i]), gray, None, names[i], right=right)
+
+    def gt_poses(self) -> Optional[np.ndarray]:
+        """(F, 4, 4) world->camera from a KITTI ``poses/NN.txt``-style file
+        (12 numbers per row, Twc) placed at ``<folder>/poses.txt``."""
+        path = os.path.join(self.folder, "poses.txt")
+        if not os.path.exists(path):
+            return None
+        rows = np.loadtxt(path, ndmin=2)
+        out = []
+        for r in rows:
+            T_wc = np.eye(4, dtype=np.float32)
+            T_wc[:3, :4] = r.reshape(3, 4)
+            out.append(np.linalg.inv(T_wc))
+        return np.stack(out)
+
+
+@dataclass
+class EurocDataset:
+    """EuRoC MAV dataset (mono_euroc.cc / stereo_euroc.cc LoadImages):
+    ``mav0/cam0/data/<ns>.png`` named by nanosecond timestamps; stereo pairs
+    from ``mav0/cam1/data``.  Images are assumed pre-rectified (the
+    reference rectifies via LEFT./RIGHT. settings-yaml maps; run that
+    preprocessing offline)."""
+
+    folder: str  # the mav0 parent (sequence root)
+    max_frames: int = 0
+
+    def frames(self, stereo: bool = False) -> Iterator[SequenceItem]:
+        cam0 = os.path.join(self.folder, "mav0", "cam0", "data")
+        cam1 = os.path.join(self.folder, "mav0", "cam1", "data")
+        names = sorted(os.listdir(cam0))
+        n = len(names) if self.max_frames <= 0 else min(self.max_frames, len(names))
+        for i in range(n):
+            stamp = float(os.path.splitext(names[i])[0]) * 1e-9
+            gray = _imread_gray(os.path.join(cam0, names[i]))
+            right = (
+                _imread_gray(os.path.join(cam1, names[i]))
+                if stereo and os.path.exists(os.path.join(cam1, names[i]))
+                else None
+            )
+            yield SequenceItem(i, stamp, gray, None, names[i], right=right)
+
+    def gt_poses(self) -> Optional[np.ndarray]:
+        """GT from ``mav0/state_groundtruth_estimate0/data.csv``
+        (ns, p_xyz, q_wxyz, ...) -> (F, 4, 4) Tcw, resampled per frame."""
+        path = os.path.join(
+            self.folder, "mav0", "state_groundtruth_estimate0", "data.csv"
+        )
+        if not os.path.exists(path):
+            return None
+        rows = np.loadtxt(path, delimiter=",", skiprows=1, ndmin=2)
+        # q is w,x,y,z in EuRoC; convert to x,y,z,w order for quat_to_R
+        tum = np.concatenate(
+            [rows[:, 0:1] * 1e-9, rows[:, 1:4], rows[:, 5:8], rows[:, 4:5]], axis=1
+        )
+        return _tum_rows_to_Tcw(tum)
 
 
 def _read_list(path) -> List[Tuple[float, str]]:

@@ -70,6 +70,22 @@ class CuboidDetections(NamedTuple):
         )
 
 
+def detect_planes_online(depth, cam, cap: int, stride: int = 3) -> PlaneDetections:
+    """Online plane segmentation from a depth image — the PCL
+    OrganizedMultiPlaneSegmentation path of DetectPlane
+    (Tracking.cc:2404-2513), via the JAX kernel (kernels/planes.py)."""
+    import jax.numpy as jnp
+
+    from ..kernels.planes import segment_planes
+
+    coef, centroid, counts, valid = segment_planes(
+        jnp.asarray(depth, jnp.float32),
+        float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+        stride=stride, max_planes=cap,
+    )
+    return PlaneDetections(coef=coef, centroid=centroid, valid=valid)
+
+
 def read_offline_planes(path: str, cap: int) -> PlaneDetections:
     """Read a ``*_offline_plane_multiplane.txt`` file: rows
     ``[id nx ny nz d cx cy cz num]`` (Tracking.cc:2354-2377)."""
