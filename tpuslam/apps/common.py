@@ -39,6 +39,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "--features", type=int, default=0,
         help="ORB features per frame (scales all map capacities; default 1024)",
     )
+    ap.add_argument(
+        "--viz-every", type=int, default=0,
+        help="every N frames, dump map + frame overlay PNGs to <out>/viz/ "
+        "(headless Viewer/MapDrawer/FrameDrawer analogue)",
+    )
     return ap
 
 
@@ -78,10 +83,14 @@ def make_tracker(args, cam: Camera, cfg: SlamConfig) -> Tracker:
     return Tracker(cam, cfg)
 
 
-def run_loop(tracker: Tracker, items, sensor: str, prof: Profiler, per_frame=None):
+def run_loop(tracker: Tracker, items, sensor: str, prof: Profiler, per_frame=None, args=None):
     """Drive the tracker over a SequenceItem iterator.  ``per_frame`` may
     return (plane_det, cuboid_det) for semantic keyframe input."""
     frame_times = []
+    viz_every = getattr(args, "viz_every", 0) if args is not None else 0
+    viz_dir = os.path.join(getattr(args, "out", "."), "viz") if viz_every else ""
+    if viz_dir:
+        os.makedirs(viz_dir, exist_ok=True)
     for item in items:
         t0 = time.perf_counter()
         pdet = cdet = None
@@ -99,7 +108,32 @@ def run_loop(tracker: Tracker, items, sensor: str, prof: Profiler, per_frame=Non
                     plane_det=pdet, cuboid_det=cdet,
                 )
         frame_times.append(time.perf_counter() - t0)
+        if viz_every and item.frame_id % viz_every == 0 and tracker.last_frame is not None:
+            _dump_viz(tracker, item, viz_dir)
     return frame_times
+
+
+def _dump_viz(tracker: Tracker, item, viz_dir: str):
+    """Headless Viewer snapshot: frame overlay + 3D map PNG."""
+    import cv2
+    import numpy as _np
+
+    from ..viz import draw_frame_overlay, save_map_png
+
+    f = tracker.last_frame
+    kp_pt = tracker.last_kp_pt
+    overlay = draw_frame_overlay(
+        item.gray,
+        _np.asarray(f.uv),
+        _np.asarray(f.valid),
+        kp_bound=_np.asarray(kp_pt) >= 0 if kp_pt is not None else None,
+        state=tracker.state,
+        n_kf=tracker.n_kf,
+        n_pt=tracker.n_pt,
+    )
+    cv2.imwrite(os.path.join(viz_dir, f"frame_{item.frame_id:05d}.png"), overlay)
+    if tracker.n_kf > 0:
+        save_map_png(os.path.join(viz_dir, f"map_{item.frame_id:05d}.png"), tracker.map, n_kf=tracker.n_kf)
 
 
 def finish(tracker: Tracker, args, frame_times, gt=None, stamps_by_fid=None, metric=False):

@@ -26,7 +26,7 @@ def main(argv=None):
     cfg = common.apply_features(cfg, args.features)
     tracker = common.make_tracker(args, cam, cfg)
     prof = Profiler()
-    ft = common.run_loop(tracker, ds.frames(), "mono", prof)
+    ft = common.run_loop(tracker, ds.frames(), "mono", prof, args=args)
     report = common.finish(tracker, args, ft, gt=gt, metric=False)
     prof.print_aggregated()
     return report

@@ -67,7 +67,7 @@ def main(argv=None):
                 )
         return pdet, cdet
 
-    ft = common.run_loop(tracker, ds.frames(with_depth=True), "rgbd", prof, per_frame)
+    ft = common.run_loop(tracker, ds.frames(with_depth=True), "rgbd", prof, per_frame, args=args)
     report = common.finish(tracker, args, ft, gt=gt, metric=True)
     prof.print_aggregated()
     return report

@@ -51,7 +51,7 @@ def main(argv=None):
                 pdet = detect_planes_online(item.depth, cam, cfg.caps.max_planes_per_frame)
         return pdet, None
 
-    ft = common.run_loop(tracker, ds.frames(with_depth=True), "rgbd", prof, per_frame)
+    ft = common.run_loop(tracker, ds.frames(with_depth=True), "rgbd", prof, per_frame, args=args)
     report = common.finish(tracker, args, ft, gt=gt, metric=True)
     prof.print_aggregated()
     return report

@@ -29,7 +29,7 @@ def main(argv=None):
     cfg = common.apply_features(cfg, args.features)
     tracker = common.make_tracker(args, cam, cfg)
     prof = Profiler()
-    ft = common.run_loop(tracker, ds.frames(stereo=True), "stereo", prof)
+    ft = common.run_loop(tracker, ds.frames(stereo=True), "stereo", prof, args=args)
     report = common.finish(tracker, args, ft, gt=gt, metric=True)
     prof.print_aggregated()
     return report
