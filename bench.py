@@ -1,15 +1,21 @@
-"""Benchmark: per-frame tracking hot path on real TPU hardware.
+"""Benchmark: full per-frame tracking pipeline on real TPU hardware.
 
-Measures the SURVEY §3.2 hot path — project local map points, MXU Hamming
-matching, motion-only pose optimization (4x10 LM rounds) — as a
-device-resident lax.scan over a batch of synthetic frames, i.e. ONE dispatch
-for the whole sequence (the design target: the per-frame stack is a single
-XLA program).
+Measures the SURVEY §3.2 hot path end-to-end per frame — ORB extraction
+(pyramid, FAST, cell top-k, IC-angle, BRIEF), projection-gated MXU Hamming
+matching against the local map, and motion-only pose optimization (LM) — as
+a device-resident ``lax.scan`` over a sequence of real images, i.e. ONE
+dispatch for the whole sequence.  This is the same work the reference counts
+in its "time single frame" profiler section (mono_icl_test.cc:83,124), minus
+host I/O.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is relative to 30 frames/s — the ORB-SLAM2-class real-time
 CPU tracking rate the reference inherits (README.md:59 citation; the repo
 publishes no numbers of its own, BASELINE.md).
+
+NOTE: each timed rep perturbs the input images on device — the axon tunnel
+memoizes executions with identical arguments, which would otherwise inflate
+the number ~60x.
 """
 
 import json
@@ -23,57 +29,47 @@ import jax.numpy as jnp
 from tpuslam.core import geometry as geo
 from tpuslam.graph import lm
 from tpuslam.kernels import match as km
+from tpuslam.kernels import orb
 
+H, W = 480, 640
 N_KPS = 1024  # per-frame features (reference ICL config: 1000)
-N_PTS = 4096  # local map points in the tracking window
-N_FRAMES = 64
+N_FRAMES = 32
 FX = FY = 500.0
 CX, CY = 320.0, 240.0
+Z_WALL = 5.0
+PX_STEP = 3  # lateral image shift per frame
 
 
 def build_workload(seed=0):
+    """A textured wall at Z_WALL viewed by a laterally translating camera:
+    frame images are crops of one big texture, so descriptors genuinely
+    re-detect across frames (no synthetic-descriptor shortcut)."""
     rng = np.random.RandomState(seed)
-    pts = rng.uniform([-4, -2, 3], [4, 2, 12], (N_PTS, 3)).astype(np.float32)
-    desc_bits = rng.randint(0, 1 << 32, (N_PTS, 8), dtype=np.uint64).astype(np.uint32)
-    poses = []
-    for i in range(N_FRAMES):
-        T_wc = np.eye(4, dtype=np.float32)
-        T_wc[:3, 3] = [0.02 * i, 0.005 * i, 0.01 * i]
-        poses.append(np.linalg.inv(T_wc))
-    poses = np.stack(poses)
+    margin = PX_STEP * N_FRAMES + 8
+    base = rng.uniform(0, 255, (H, W + margin)).astype(np.float32)
+    k = np.ones((3, 3), np.float32) / 9.0
+    for _ in range(2):
+        p = np.pad(base, 1, mode="edge")
+        base = sum(k[i, j] * p[i : i + H, j : j + W + margin] for i in range(3) for j in range(3))
+    frames = np.stack([base[:, i * PX_STEP : i * PX_STEP + W] for i in range(N_FRAMES)])
 
-    frames_uv = np.zeros((N_FRAMES, N_KPS, 2), np.float32)
-    frames_desc = np.zeros((N_FRAMES, N_KPS, 8), np.uint32)
-    frames_pt = np.zeros((N_FRAMES, N_KPS), np.int32)
-    for f in range(N_FRAMES):
-        T = poses[f]
-        pc = (T[:3, :3] @ pts.T).T + T[:3, 3]
-        u = FX * pc[:, 0] / pc[:, 2] + CX
-        v = FY * pc[:, 1] / pc[:, 2] + CY
-        vis = (pc[:, 2] > 0.3) & (u > 0) & (u < 640) & (v > 0) & (v < 480)
-        ids = np.where(vis)[0]
-        rng.shuffle(ids)
-        ids = ids[:N_KPS]
-        n = len(ids)
-        frames_uv[f, :n, 0] = u[ids] + rng.randn(n) * 0.4
-        frames_uv[f, :n, 1] = v[ids] + rng.randn(n) * 0.4
-        frames_desc[f, :n] = desc_bits[ids]
-        frames_pt[f, :n] = ids
-    return (
-        jnp.asarray(pts),
-        jnp.asarray(desc_bits),
-        jnp.asarray(poses[0]),
-        jnp.asarray(frames_uv),
-        jnp.asarray(frames_desc),
+    # map from frame-0 extraction, backprojected at the wall depth
+    f0 = orb.extract(jnp.asarray(frames[0]), n_features=N_KPS)
+    u, v = f0.uv[:, 0], f0.uv[:, 1]
+    pts = jnp.stack(
+        [(u - CX) * Z_WALL / FX, (v - CY) * Z_WALL / FY, jnp.full_like(u, Z_WALL)], -1
     )
+    T0 = jnp.eye(4)
+    return jnp.asarray(frames), pts, f0.desc, f0.valid, T0
 
 
 @jax.jit
-def track_sequence(pts, pt_desc, T0, frames_uv, frames_desc):
-    """Device-resident frame loop: project -> gate -> MXU match -> pose opt."""
+def track_sequence(frames, pts, pt_desc, pt_valid, T0):
+    """Device-resident frame loop: extract -> project -> gate -> MXU match
+    -> pose opt, one XLA program for the whole sequence."""
 
-    def step(T_prev, frame):
-        uv, desc = frame
+    def step(T_prev, image):
+        f = orb.extract(image, n_features=N_KPS)
         pc = geo.se3_apply(T_prev, pts)
         uv_pred = jnp.stack(
             [
@@ -82,37 +78,43 @@ def track_sequence(pts, pt_desc, T0, frames_uv, frames_desc):
             ],
             axis=-1,
         )
-        vis = pc[:, 2] > 0
-        gate = km.window_gate(uv_pred, uv, 15.0)
-        kp_valid = jnp.any(desc != 0, axis=-1)
+        vis = pt_valid & (pc[:, 2] > 0)
+        gate = km.window_gate(uv_pred, f.uv, 25.0)
         idx, dist, ok = km.match_descriptors(
-            pt_desc, desc, vis, kp_valid, gate_mask=gate, max_dist=60.0, ratio=0.9
+            pt_desc, f.desc, vis, f.valid, gate_mask=gate, max_dist=60.0, ratio=0.9
         )
         T_opt, inl, n_in = lm.optimize_pose(
-            T_prev, pts, uv[idx], jnp.ones(pts.shape[0]), ok, FX, FY, CX, CY
+            T_prev, pts, f.uv[idx], jnp.ones(pts.shape[0]), ok, FX, FY, CX, CY
         )
         return T_opt, (T_opt, n_in)
 
-    T_last, (traj, n_ins) = jax.lax.scan(step, T0, (frames_uv, frames_desc))
+    T_last, (traj, n_ins) = jax.lax.scan(step, T0, frames)
     return traj, n_ins
 
 
 def main():
-    args = build_workload()
+    frames, pts, pt_desc, pt_valid, T0 = build_workload()
     # warm up + compile
-    traj, n_ins = track_sequence(*args)
+    traj, n_ins = track_sequence(frames, pts, pt_desc, pt_valid, T0)
     jax.block_until_ready(traj)
-    # timed runs
+    # timed runs; perturb images per rep to defeat the tunnel's
+    # identical-execution memoization (see module docstring)
     reps = 5
+    eps = [jnp.float32(1e-3 * (i + 1)) for i in range(reps)]
     t0 = time.perf_counter()
-    for _ in range(reps):
-        traj, n_ins = track_sequence(*args)
+    for i in range(reps):
+        traj, n_ins = track_sequence(frames + eps[i], pts, pt_desc, pt_valid, T0)
     jax.block_until_ready(traj)
     dt = (time.perf_counter() - t0) / reps
     fps = N_FRAMES / dt
-    # sanity: tracking must actually work
+    # sanity: tracking must actually work (camera moves PX_STEP*Z/FX per frame)
     med_inliers = float(jnp.median(n_ins))
-    assert med_inliers > 200, f"tracking degenerate in bench: {med_inliers}"
+    assert med_inliers > 150, f"tracking degenerate in bench: {med_inliers}"
+    x_last = float(jnp.linalg.inv(traj[-1])[0, 3])
+    x_expect = (N_FRAMES - 1) * PX_STEP * Z_WALL / FX
+    assert abs(x_last - x_expect) < 0.15 * x_expect + 0.02, (
+        f"trajectory wrong: {x_last} vs {x_expect}"
+    )
     print(
         json.dumps(
             {
