@@ -97,15 +97,22 @@ def main():
     # warm up + compile
     traj, n_ins = track_sequence(frames, pts, pt_desc, pt_valid, T0)
     jax.block_until_ready(traj)
-    # timed runs; perturb images per rep to defeat the tunnel's
-    # identical-execution memoization (see module docstring)
-    reps = 5
-    eps = [jnp.float32(1e-3 * (i + 1)) for i in range(reps)]
-    t0 = time.perf_counter()
+    # timed runs: sequential with a block per rep and the MEDIAN taken —
+    # the device tunnel's round-trip latency is noisy, and each rep perturbs
+    # the images on device to defeat the tunnel's identical-execution
+    # memoization (see module docstring)
+    reps = 9
+    times = []
     for i in range(reps):
-        traj, n_ins = track_sequence(frames + eps[i], pts, pt_desc, pt_valid, T0)
-    jax.block_until_ready(traj)
-    dt = (time.perf_counter() - t0) / reps
+        f2 = frames + jnp.float32(1e-3 * (i + 1))
+        _ = float(jnp.sum(f2))  # materialize the input before the clock starts
+        t0 = time.perf_counter()
+        traj, n_ins = track_sequence(f2, pts, pt_desc, pt_valid, T0)
+        # fetch a scalar: forces actual completion even if the transport's
+        # block_until_ready resolves before device execution finishes
+        _ = float(traj[-1, 2, 3]) + float(n_ins[-1])
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     fps = N_FRAMES / dt
     # sanity: tracking must actually work (camera moves PX_STEP*Z/FX per frame)
     med_inliers = float(jnp.median(n_ins))
