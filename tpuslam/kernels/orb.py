@@ -180,6 +180,23 @@ def fast_response(img, strict_th: float, weak_th: float):
     return jnp.where(weak_corner, weak_score + jnp.where(strict_corner, bonus, 0.0), 0.0)
 
 
+def _topk_small(s, k):
+    """Iterative top-k along the last axis for tiny static k.
+
+    ``lax.top_k`` lowers to a sort on TPU (~2.3 ms/frame for the cell
+    selection); k rounds of argmax + mask are a handful of VPU reduction
+    passes instead.  Ties resolve to the lowest index, like top_k."""
+    scores, idxs = [], []
+    lane = jnp.arange(s.shape[-1])
+    for _ in range(k):
+        i = jnp.argmax(s, axis=-1)
+        v = jnp.take_along_axis(s, i[..., None], axis=-1)[..., 0]
+        scores.append(v)
+        idxs.append(i.astype(jnp.int32))
+        s = jnp.where(lane == i[..., None], -jnp.inf, s)
+    return jnp.stack(scores, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 def _nms3(score):
     """3x3 non-maximum suppression on (..., H, W)."""
     neighborhood = jax.lax.reduce_window(
@@ -228,8 +245,9 @@ def extract(
     scales = level_scales(n_levels, scale_factor)
 
     # --- dense response on every level (padded regions masked out) ---------
-    score = fast_response(pyramid, float(ini_th), float(min_th))
-    score = _nms3(score)
+    from .pallas_fast import fast_nms_score_auto  # lazy: pallas_fast imports us
+
+    score = fast_nms_score_auto(pyramid, float(ini_th), float(min_th))
 
     row = jnp.arange(H)[None, :, None]
     col = jnp.arange(W)[None, None, :]
@@ -249,7 +267,7 @@ def extract(
     s = jnp.pad(score, ((0, 0), (0, pad_h), (0, pad_w)))
     s = s.reshape(n_levels, n_cy, cell_size, n_cx, cell_size)
     s = s.transpose(0, 1, 3, 2, 4).reshape(n_levels, n_cy * n_cx, cell_size * cell_size)
-    cell_scores, cell_idx = jax.lax.top_k(s, cell_topk)  # (L, C, k)
+    cell_scores, cell_idx = _topk_small(s, cell_topk)  # (L, C, k)
 
     cells = jnp.arange(n_cy * n_cx)
     cy = (cells // n_cx)[None, :, None]
