@@ -9,3 +9,6 @@ g++ -O3 -march=native -std=c++17 -shared -fPIC dataloader.cpp \
     -lopencv_core -lopencv_imgcodecs -lpthread \
     -o "$OUT/libtpuslam_dataloader.so"
 echo "built $OUT/libtpuslam_dataloader.so"
+g++ -O3 -march=native -std=c++17 -shared -fPIC vocab_loader.cpp \
+    -o "$OUT/libtpuslam_vocab.so"
+echo "built $OUT/libtpuslam_vocab.so"
