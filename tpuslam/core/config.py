@@ -52,6 +52,11 @@ class TrackingConfig:
     min_frames_between_kf: int = 0
     max_frames_between_kf: int = 30  # == fps
     reloc_min_inliers: int = 50  # Relocalization accept (Tracking.cc:1805)
+    # KeyFrame culling (LocalMapping::KeyFrameCulling, LocalMapping.cc:672-736):
+    # a local keyframe is dropped when >= kf_cull_redundancy of its points are
+    # seen by >= kf_cull_min_obs other KFs at the same-or-finer scale.
+    kf_cull_redundancy: float = 0.9
+    kf_cull_min_obs: int = 3
     # Metric anchor for monocular scale: the map is scaled so the median
     # scene depth at initialization equals this value.  The reference anchors
     # scale with GT ground height instead (enable_ground_height_scale,

@@ -686,3 +686,19 @@ class Tracker:
         # local BA
         if self.n_kf > 2:
             self.map, _ = run_local_ba(self.map, kf_slot, self.cam, self.cfg)
+        # keyframe culling (LocalMapping::KeyFrameCulling, LocalMapping.cc:672-736):
+        # drop local covisible KFs whose points are >=90% redundant
+        if self.n_kf > 3:
+            red = np.array(
+                ms.keyframe_redundancy(self.map, th_obs=cfg.tracking.kf_cull_min_obs)
+            )
+            cov_cur = np.array(ms.covisibility(self.map)[kf_slot])
+            kill = (
+                (red >= cfg.tracking.kf_cull_redundancy)
+                & (cov_cur >= 15.0)
+                & np.array(self.map.kf_valid)
+            )
+            kill[0] = False  # never cull the origin keyframe (LocalMapping.cc:682)
+            kill[kf_slot] = False
+            if kill.any():
+                self.map = ms.cull_keyframes(self.map, jnp.asarray(kill))

@@ -248,6 +248,64 @@ def cull_points(m: MapState, kill_mask):
     )
 
 
+def keyframe_redundancy(m: MapState, th_obs: int = 3, scale_slack: int = 1,
+                        n_octaves: int = 8):
+    """(K,) fraction of each keyframe's tracked points that are redundant.
+
+    A point is redundant for keyframe k when at least ``th_obs`` OTHER
+    keyframes observe it at the same or finer scale (octave <= octave_k +
+    ``scale_slack``) — LocalMapping::KeyFrameCulling's 90%% rule
+    (LocalMapping.cc:672-736), batched: one per-octave observer histogram
+    scatter + cumulative sum replaces the reference's per-point nested loop.
+    """
+    P = m.pt_pos.shape[0]
+    pt = jnp.clip(m.kf_pt, 0)
+    obs = (m.kf_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None] & m.pt_valid[pt]
+    octv = jnp.clip(m.kf_octave, 0, n_octaves - 1)
+    # hist[o, p] = number of keyframes observing p at octave o
+    hist = jnp.zeros((n_octaves, P + 1), jnp.float32)
+    hist = hist.at[octv.reshape(-1), jnp.where(obs, pt, P).reshape(-1)].add(1.0)
+    cnt_le = jnp.cumsum(hist[:, :P], axis=0)  # observers at octave <= o
+    o_idx = jnp.clip(octv + scale_slack, 0, n_octaves - 1)
+    others = cnt_le[o_idx, pt] - 1.0  # exclude the keyframe's own observation
+    red = obs & (others >= th_obs)
+    n_obs = jnp.sum(obs.astype(jnp.float32), axis=1)
+    n_red = jnp.sum(red.astype(jnp.float32), axis=1)
+    return jnp.where(n_obs > 0, n_red / jnp.maximum(n_obs, 1.0), 0.0)
+
+
+def cull_keyframes(m: MapState, kill_mask):
+    """Remove keyframes (KeyFrame::SetBadFlag analogue): invalidate the rows,
+    drop their point observations, and release their plane/cuboid
+    association counts.  Points keep their positions — surviving observers
+    still anchor them (the reference erases per-KF observations the same
+    way; spanning-tree reparenting has no analogue here because covisibility
+    is recomputed from the incidence matrix)."""
+    kill_col = kill_mask[:, None]
+    plane_dec = jnp.zeros_like(m.plane_obs_count)
+    pl_obs = kill_col & (m.kf_plane_map >= 0) & m.kf_plane_valid
+    plane_dec = plane_dec.at[jnp.where(pl_obs, m.kf_plane_map, 0)].add(
+        pl_obs.astype(jnp.int32)
+    )
+    cub_dec = jnp.zeros_like(m.cub_obs_count)
+    cb_obs = kill_col & (m.kf_cub_map >= 0) & m.kf_cub_valid
+    cub_dec = cub_dec.at[jnp.where(cb_obs, m.kf_cub_map, 0)].add(cb_obs.astype(jnp.int32))
+    return m._replace(
+        kf_valid=m.kf_valid & ~kill_mask,
+        kf_kp_valid=m.kf_kp_valid & ~kill_col,
+        kf_pt=jnp.where(kill_col, -1, m.kf_pt),
+        kf_plane_valid=m.kf_plane_valid & ~kill_col,
+        kf_plane_map=jnp.where(kill_col, -1, m.kf_plane_map),
+        kf_plane_ver=jnp.where(kill_col, -1, m.kf_plane_ver),
+        kf_plane_par=jnp.where(kill_col, -1, m.kf_plane_par),
+        kf_cub_valid=m.kf_cub_valid & ~kill_col,
+        kf_cub_map=jnp.where(kill_col, -1, m.kf_cub_map),
+        kf_kp_cub=jnp.where(kill_col, -1, m.kf_kp_cub),
+        plane_obs_count=jnp.maximum(m.plane_obs_count - plane_dec, 0),
+        cub_obs_count=jnp.maximum(m.cub_obs_count - cub_dec, 0),
+    )
+
+
 def replace_point(m: MapState, old_id, new_id):
     """MapPoint::Replace — redirect all keyframe links old -> new."""
     return m._replace(
