@@ -106,3 +106,39 @@ def test_pose_graph_closes_a_drifted_loop():
         ]
     )
     assert err_after < 0.6 * err_before, (err_before, err_after)
+
+
+def test_optimize_sim3_refines_perturbed_estimate():
+    """GN refinement recovers a known Sim3 from a perturbed start and
+    prunes planted outliers (Optimizer::OptimizeSim3 semantics)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpuslam.backend.sim3solver import optimize_sim3
+    from tpuslam.core import geometry as geo
+
+    rng = np.random.RandomState(0)
+    N = 120
+    K = jnp.asarray([[400.0, 0, 320], [0, 400.0, 240], [0, 0, 1]])
+    # ground-truth Sim3 (frame2 -> frame1)
+    xi = jnp.asarray([0.05, -0.08, 0.03, 0.2, -0.1, 0.15, 0.1])
+    S_gt = geo.sim3_exp(xi)
+    P2 = jnp.asarray(rng.uniform([-2, -2, 3], [2, 2, 8], (N, 3)).astype(np.float32))
+    P1 = geo.sim3_apply(S_gt, P2)
+
+    def proj(p):
+        return jnp.stack([400.0 * p[:, 0] / p[:, 2] + 320, 400.0 * p[:, 1] / p[:, 2] + 240], -1)
+
+    uv1 = proj(P1) + jnp.asarray(rng.randn(N, 2).astype(np.float32)) * 0.3
+    uv2 = proj(P2) + jnp.asarray(rng.randn(N, 2).astype(np.float32)) * 0.3
+    # plant outliers
+    uv1 = uv1.at[:10].add(40.0)
+    valid = jnp.ones(N, bool)
+
+    S0 = geo.sim3_exp(xi + jnp.asarray([0.02, 0.01, -0.02, 0.1, 0.05, -0.08, 0.05]))
+    S_ref, inl, n_in = optimize_sim3(S0, P1, P2, uv1, uv2, K, valid)
+    assert int(n_in) >= 100
+    assert int(jnp.sum(inl[:10])) <= 2  # planted outliers pruned
+    err = geo.sim3_log(S_ref @ geo.sim3_inv(S_gt))
+    err0 = geo.sim3_log(S0 @ geo.sim3_inv(S_gt))
+    assert float(jnp.linalg.norm(err)) < 0.25 * float(jnp.linalg.norm(err0))
+    np.testing.assert_allclose(float(geo.sim3_scale(S_ref)), float(jnp.exp(xi[6])), rtol=0.02)

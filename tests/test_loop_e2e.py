@@ -1,0 +1,139 @@
+"""End-to-end loop closing through LoopCloser.on_keyframe.
+
+Builds a 12-keyframe map whose last keyframe revisits keyframe 0's view with
+an accumulated Sim3 drift (duplicate map points, zero covisibility), then
+calls LoopCloser.on_keyframe and checks the loop closes and the drifted
+pose is pulled back toward keyframe 0's frame.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from tpuslam.core.config import SlamConfig, Capacities
+from tpuslam.core.camera import Camera
+from tpuslam.core import geometry as geo
+from tpuslam.map import mapstate as ms
+from tpuslam.place.loop import LoopCloser
+from tpuslam.place import vocab as vb
+
+NKP = 128
+NPT = 100
+
+
+def build():
+    rng = np.random.RandomState(5)
+    cam = Camera.make(300.0, 300.0, 160.0, 120.0, width=320, height=240)
+    caps = Capacities(
+        max_keypoints=NKP, max_keyframes=16, max_points=512,
+        max_planes=4, max_cuboids=2, vocab_words=64,
+    )
+    cfg = SlamConfig(caps=caps)
+    pts_w = rng.uniform([-2, -1.5, 4], [2, 1.5, 9], (NPT, 3)).astype(np.float32)
+    desc = rng.randint(0, 1 << 32, (NPT, 8), dtype=np.uint64).astype(np.uint32)
+
+    m = ms.empty_map(caps)
+    vocab = vb.random_vocabulary(caps.vocab_words, seed=3)
+
+    def proj(Tcw, P):
+        pc = (Tcw[:3, :3] @ P.T).T + Tcw[:3, 3]
+        return np.stack(
+            [300.0 * pc[:, 0] / pc[:, 2] + 160.0, 300.0 * pc[:, 1] / pc[:, 2] + 120.0], -1
+        ).astype(np.float32)
+
+    # drift: small rotation + translation + 5% scale applied to the revisit
+    xi = jnp.asarray([0.02, -0.03, 0.01, 0.15, -0.1, 0.08, 0.05])
+    S_drift = np.asarray(geo.sim3_exp(xi))
+
+    poses = []
+    for k in range(12):
+        T = np.eye(4, dtype=np.float32)
+        if 1 <= k <= 10:
+            T[:3, 3] = [0.3 * k, 0.0, -0.1 * k]  # wander away
+        poses.append(T)
+
+    # keyframes 0..10 observe the TRUE points (ids 0..99)
+    uv_pad = np.zeros((NKP, 2), np.float32)
+    for k in range(11):
+        uv = uv_pad.copy()
+        uv[:NPT] = proj(poses[k], pts_w)
+        kp_valid = np.zeros(NKP, bool); kp_valid[:NPT] = True
+        pt_ids = -np.ones(NKP, np.int32); pt_ids[:NPT] = np.arange(NPT)
+        dsc = np.zeros((NKP, 8), np.uint32); dsc[:NPT] = desc
+        m = ms.add_keyframe(
+            m, jnp.int32(k), jnp.asarray(poses[k]), jnp.int32(k), jnp.asarray(uv),
+            jnp.zeros(NKP, jnp.int32), jnp.zeros(NKP), jnp.asarray(dsc),
+            jnp.asarray(kp_valid), jnp.asarray(pt_ids),
+            -jnp.ones(NKP), -jnp.ones(NKP),
+        )
+    m = ms.add_points(
+        m, jnp.arange(NPT), jnp.asarray(pts_w), jnp.asarray(desc),
+        jnp.zeros((NPT, 3)), jnp.zeros(NPT), jnp.full(NPT, 1e9),
+        jnp.zeros(NPT, jnp.int32), jnp.ones(NPT, bool),
+    )
+
+    # keyframe 11 "revisits" kf 0 but in a drifted world: duplicate points
+    # ids 100..199 at Sim3-drifted positions, pose = kf0 pose composed with drift
+    pts_drift = (S_drift[:3, :3] @ pts_w.T).T + S_drift[:3, 3]
+    T11 = poses[0] @ np.linalg.inv(S_drift)  # sim3^-1 then project = consistent view
+    # normalize T11 rotation block scale (sim3 inverse has 1/s scale)
+    s = np.cbrt(np.linalg.det(T11[:3, :3]))
+    T11[:3, :3] /= s
+    uv = uv_pad.copy()
+    pc = (T11[:3, :3] @ pts_drift.T).T + T11[:3, 3]
+    uv[:NPT] = np.stack(
+        [300.0 * pc[:, 0] / pc[:, 2] + 160.0, 300.0 * pc[:, 1] / pc[:, 2] + 120.0], -1
+    )
+    kp_valid = np.zeros(NKP, bool); kp_valid[:NPT] = True
+    pt_ids = -np.ones(NKP, np.int32); pt_ids[:NPT] = 100 + np.arange(NPT)
+    dsc = np.zeros((NKP, 8), np.uint32); dsc[:NPT] = desc
+    m = ms.add_keyframe(
+        m, jnp.int32(11), jnp.asarray(T11.astype(np.float32)), jnp.int32(11),
+        jnp.asarray(uv), jnp.zeros(NKP, jnp.int32), jnp.zeros(NKP),
+        jnp.asarray(dsc), jnp.asarray(kp_valid), jnp.asarray(pt_ids),
+        -jnp.ones(NKP), -jnp.ones(NKP),
+    )
+    m = ms.add_points(
+        m, 100 + jnp.arange(NPT), jnp.asarray(pts_drift.astype(np.float32)),
+        jnp.asarray(desc), jnp.zeros((NPT, 3)), jnp.zeros(NPT), jnp.full(NPT, 1e9),
+        jnp.full(NPT, 11, jnp.int32), jnp.ones(NPT, bool),
+    )
+    # give kf 11 some covisibility with kfs 9, 10 so the min-score gate has
+    # covisible neighbours: share 20 dummy points
+    extra_ids = 200 + np.arange(20)
+    m = ms.add_points(
+        m, jnp.asarray(extra_ids), jnp.asarray(rng.uniform(-1, 1, (20, 3)).astype(np.float32)),
+        jnp.zeros((20, 8), jnp.uint32), jnp.zeros((20, 3)), jnp.zeros(20),
+        jnp.full(20, 1e9), jnp.full(20, 9, jnp.int32), jnp.ones(20, bool),
+    )
+    for k in (9, 10, 11):
+        kp = jnp.asarray(100 + np.arange(20), jnp.int32)  # kp slots 100..119
+        m = ms.assign_observations(
+            m, jnp.int32(k), kp, jnp.asarray(extra_ids, jnp.int32), jnp.ones(20, bool)
+        )
+        kv = np.array(m.kf_kp_valid)
+        kv[k, 100:120] = True
+        # distinct random descriptors per keyframe on the dummy slots so the
+        # covisibility helper points don't inflate BoW similarity
+        kd = np.array(m.kf_desc)
+        kd[k, 100:120] = rng.randint(0, 1 << 32, (20, 8), dtype=np.uint64).astype(np.uint32)
+        m = m._replace(kf_kp_valid=jnp.asarray(kv), kf_desc=jnp.asarray(kd))
+
+    # BoW rows for all kfs (vocab over their descriptors)
+    for k in range(12):
+        bow = vb.bow_vector(vocab, m.kf_desc[k], m.kf_kp_valid[k])
+        m = m._replace(kf_bow=m.kf_bow.at[k].set(bow))
+
+    return cam, cfg, m, vocab, np.asarray(poses[0]), T11, S_drift
+
+
+def test_loop_closes_drifted_revisit():
+    cam, cfg, m, vocab, T0, T11, S_drift = build()
+    lc = LoopCloser(vocab, cam, cfg)
+    lc.consistency = {0: 2}  # two prior consistent sightings of candidate 0
+    drift_before = float(np.linalg.norm((np.asarray(m.kf_pose[11]) - T0)[:3, 3]))
+    m2, closed = lc.on_keyframe(m, 11, 12)
+    print("loop closed:", closed)
+    assert closed, "loop closure did not fire"
+    T11_new = np.asarray(m2.kf_pose[11])
+    drift_after = float(np.linalg.norm((T11_new - T0)[:3, 3]))
+    print(f"pose-11 offset from kf0: before {drift_before:.3f} after {drift_after:.3f}")
+    assert drift_after < 0.5 * drift_before, "loop correction did not reduce drift"

@@ -128,3 +128,72 @@ def solve_sim3(
     inl = jnp.where(better, inl2, inls[best])
     n = jnp.where(better, n2, n_inls[best])
     return Sim3Result(ok=n >= 20, s=s, R=R, t=t, inliers=inl, n_inliers=n.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "fix_scale"))
+def optimize_sim3(S, P1, P2, uv1, uv2, K, valid, n_iters: int = 10,
+                  th2: float = 10.0, fix_scale: bool = False, huber2: float = 10.0):
+    """Gauss-Newton refinement of a Sim3 with bidirectional reprojection
+    residuals — the Optimizer::OptimizeSim3 analogue (Optimizer.cc:1054-1249:
+    one Sim3 vertex, EdgeSim3ProjectXYZ both directions, Huber sqrt(10),
+    chi2 > 10 outlier pruning between rounds).
+
+    S: (4, 4) Sim3 mapping frame-2 points into frame 1; P1/P2: (N, 3) points
+    in their own camera frames; uv1/uv2: (N, 2) observed pixels (uv2[i]
+    observes P1[i] in frame 2, uv1[i] observes P2[i] in frame 1).  Returns
+    (S_refined, inliers (N,) bool, n_inliers).
+    """
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+    def project(p):
+        z = jnp.maximum(p[..., 2], 1e-6)
+        return jnp.stack([fx * p[..., 0] / z + cx, fy * p[..., 1] / z + cy], -1)
+
+    def residuals(S_):
+        r1 = project(geo.sim3_apply(S_, P2)) - uv1
+        r2 = project(geo.sim3_apply(geo.sim3_inv(S_), P1)) - uv2
+        return r1, r2
+
+    def chi2(S_):
+        r1, r2 = residuals(S_)
+        return jnp.sum(r1**2, -1), jnp.sum(r2**2, -1)
+
+    def step(S_, active):
+        def local_res(d):
+            # left-multiplied local update exp(d) * S_; d = (omega, upsilon, sigma)
+            Sd = geo.sim3_exp(d) @ S_
+            r1, r2 = residuals(Sd)
+            return jnp.concatenate([r1, r2], axis=0)  # (2N, 2)
+
+        d0 = jnp.zeros(7)
+        r0 = local_res(d0)
+        J = jax.jacfwd(local_res)(d0)  # (2N, 2, 7)
+        w = jnp.concatenate([active, active]).astype(jnp.float32)
+        # Huber weights (delta^2 = huber2)
+        e2 = jnp.sum(r0**2, -1)
+        hw = jnp.where(e2 > huber2, jnp.sqrt(huber2 / jnp.maximum(e2, 1e-12)), 1.0)
+        w = w * hw
+        Jw = J * w[:, None, None]
+        H = jnp.einsum("nij,nik->jk", Jw, J) + 1e-6 * jnp.eye(7)
+        g = jnp.einsum("nij,ni->j", Jw, r0)
+        if fix_scale:
+            H = H.at[6, :].set(0.0).at[:, 6].set(0.0).at[6, 6].set(1.0)
+            g = g.at[6].set(0.0)
+        d = -jnp.linalg.solve(H, g)
+        S_new = geo.sim3_exp(d) @ S_
+        # keep the update only if the active-set robust cost improves
+        def cost(Sx):
+            c1, c2 = chi2(Sx)
+            rho = lambda c: jnp.where(c > huber2, 2 * jnp.sqrt(huber2 * c) - huber2, c)
+            return jnp.sum(jnp.where(active, rho(c1) + rho(c2), 0.0))
+
+        return jnp.where(cost(S_new) < cost(S_), S_new, S_)
+
+    active = valid
+    # two rounds like the reference: optimize, prune chi2 > th2, re-optimize
+    for _ in range(2):
+        S = jax.lax.fori_loop(0, n_iters // 2, lambda _, s: step(s, active), S)
+        c1, c2 = chi2(S)
+        active = valid & (c1 < th2) & (c2 < th2)
+    n_in = jnp.sum(active.astype(jnp.int32))
+    return S, active, n_in

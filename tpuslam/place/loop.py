@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..core import geometry as geo
 from ..kernels import match as km
 from ..map import mapstate as ms
-from ..backend.sim3solver import solve_sim3
+from ..backend.sim3solver import optimize_sim3, solve_sim3
 from ..backend.posegraph import (
     Sim3Edges,
     optimize_essential_graph,
@@ -136,7 +136,16 @@ class LoopCloser:
             return None
         S_cl = jnp.zeros((4, 4))
         S_cl = S_cl.at[:3, :3].set(res.s * res.R).at[:3, 3].set(res.t).at[3, 3].set(1.0)
-        return S_cl
+        # Gauss-Newton refinement with bidirectional reprojection residuals
+        # and chi2 pruning (Optimizer::OptimizeSim3; accepted with >= the
+        # same inlier floor, LoopClosing.cc:326-330)
+        S_ref, inl, n_in = optimize_sim3(
+            S_cl, P1, P2, uv1, uv2, self.cam.K, res.inliers,
+            fix_scale=bool(cfg.sensor != "mono"),
+        )
+        if int(n_in) < cfg.loop.min_sim3_inliers:
+            return None
+        return S_ref
 
     def _correct_loop(self, m: ms.MapState, kf_cur: int, kf_loop: int, S_cl, n_kf: int):
         """Essential-graph optimization + point re-anchoring
