@@ -108,19 +108,42 @@ def level_scales(n_levels: int, scale_factor: float):
     return np.array([scale_factor**i for i in range(n_levels)], dtype=np.float32)
 
 
+@functools.lru_cache(maxsize=64)
+def _resize_matrix(src: int, dst: int):
+    """(dst, src) ANTIALIASED linear-interpolation matrix matching
+    ``jax.image.resize(method='bilinear')`` downsampling semantics: output
+    center i samples input coordinate c = (i + 0.5) * src/dst - 0.5 with a
+    triangle kernel whose support widens by the scale factor (the
+    antialiasing jax.image applies when shrinking), weights normalized.
+    Dense so the resample becomes an MXU matmul instead of a gather."""
+    scale = src / dst
+    support = max(scale, 1.0)
+    M = np.zeros((dst, src), np.float64)
+    j = np.arange(src, dtype=np.float64)
+    for i in range(dst):
+        c = (i + 0.5) * scale - 0.5
+        w = np.maximum(0.0, 1.0 - np.abs(j - c) / support)
+        s = w.sum()
+        M[i] = w / s
+    return M.astype(np.float32)
+
+
 def build_pyramid(image, n_levels: int, scale_factor: float):
     """(H, W) float32 -> padded (L, H, W) pyramid; level l is the top-left
     ``ceil(H/s^l) x ceil(W/s^l)`` region.  Each level is resized from the
     PREVIOUS level, like the reference (ORBextractor.cc ComputePyramid
-    resizes mvImagePyramid[level-1]) — and ~2x cheaper than resampling the
-    full-resolution image per level."""
+    resizes mvImagePyramid[level-1]); the separable bilinear resample is
+    expressed as two static interpolation matmuls (rows then columns) so
+    the whole pyramid is MXU work."""
     H, W = image.shape
     levels = [image]
     prev, ph, pw = image, H, W
     for lvl in range(1, n_levels):
         s = scale_factor**lvl
         h, w = int(round(H / s)), int(round(W / s))
-        resized = jax.image.resize(prev[:ph, :pw], (h, w), method="bilinear")
+        Ry = jnp.asarray(_resize_matrix(ph, h))  # (h, ph)
+        Cx = jnp.asarray(_resize_matrix(pw, w))  # (w, pw)
+        resized = Ry @ prev[:ph, :pw] @ Cx.T
         padded = jnp.zeros((H, W), dtype=image.dtype).at[:h, :w].set(resized)
         levels.append(padded)
         prev, ph, pw = padded, h, w
@@ -353,7 +376,10 @@ def _extract_patches(pyramid, kp_l, kp_y, kp_x):
     Row-contiguous ``dynamic_slice`` per keypoint instead of element gathers:
     ~6x faster on TPU.  The pyramid is border-padded once so every slice is
     statically in bounds (keypoints already carry an ``edge_margin`` of 20
-    inside their level, so real samples never land in the pad)."""
+    inside their level, so real samples never land in the pad).  (A Pallas
+    per-patch async-DMA variant is NOT viable: Mosaic requires DMA slice
+    offsets to respect the (8, 128) tiling, and patch origins are arbitrary
+    pixels.)"""
     pp = jnp.pad(pyramid, ((0, 0), (_PYR_PAD, _PYR_PAD), (_PYR_PAD, _PYR_PAD)))
 
     def one(l, y, x):
