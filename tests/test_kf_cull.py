@@ -68,7 +68,12 @@ def test_cull_keyframes_releases_observations_and_counts():
     assert not bool(out.kf_valid[1])
     assert bool(out.kf_valid[0]) and bool(out.kf_valid[2])
     assert int(jnp.sum(out.kf_pt[1] >= 0)) == 0
-    assert int(out.plane_obs_count[2]) == 4
-    assert int(out.cub_obs_count[1]) == 1
+    # landmark observation counters are lifetime statistics: the reference's
+    # SetBadFlag (KeyFrame.cc:469-471) erases only MapPoint observations, so
+    # plane/cuboid counts stay monotone — only the per-KF links are cleared
+    assert int(out.plane_obs_count[2]) == 5
+    assert int(out.cub_obs_count[1]) == 2
+    assert not bool(out.kf_plane_valid[1, 0]) and int(out.kf_plane_map[1, 0]) == -1
+    assert not bool(out.kf_cub_valid[1, 1]) and int(out.kf_cub_map[1, 1]) == -1
     # untouched rows keep their links
     np.testing.assert_array_equal(np.array(out.kf_pt[0]), np.array(m.kf_pt[0]))

@@ -275,21 +275,21 @@ def keyframe_redundancy(m: MapState, th_obs: int = 3, scale_slack: int = 1,
 
 
 def cull_keyframes(m: MapState, kill_mask):
-    """Remove keyframes (KeyFrame::SetBadFlag analogue): invalidate the rows,
-    drop their point observations, and release their plane/cuboid
-    association counts.  Points keep their positions — surviving observers
-    still anchor them (the reference erases per-KF observations the same
-    way; spanning-tree reparenting has no analogue here because covisibility
-    is recomputed from the incidence matrix)."""
+    """Remove keyframes (KeyFrame::SetBadFlag analogue): invalidate the rows
+    and drop their point observations.  Points keep their positions —
+    surviving observers still anchor them (the reference erases per-KF
+    observations the same way; spanning-tree reparenting has no analogue here
+    because covisibility is recomputed from the incidence matrix).
+
+    Plane/cuboid landmark observation counters are NOT decremented: the
+    reference's SetBadFlag (KeyFrame.cc:469-471) erases only MapPoint
+    observations, so ``MapPlane``/``MapCuboid`` counters are lifetime
+    statistics that feed the semantic cull gates monotonically — decrementing
+    them here let keyframe culling starve cuboids below the <3-observation
+    cull threshold (Tracking.cc:2286-2313) in redundant scenes.  The per-KF
+    measurement links ARE cleared so a culled keyframe's plane/cuboid
+    measurements never feed BA."""
     kill_col = kill_mask[:, None]
-    plane_dec = jnp.zeros_like(m.plane_obs_count)
-    pl_obs = kill_col & (m.kf_plane_map >= 0) & m.kf_plane_valid
-    plane_dec = plane_dec.at[jnp.where(pl_obs, m.kf_plane_map, 0)].add(
-        pl_obs.astype(jnp.int32)
-    )
-    cub_dec = jnp.zeros_like(m.cub_obs_count)
-    cb_obs = kill_col & (m.kf_cub_map >= 0) & m.kf_cub_valid
-    cub_dec = cub_dec.at[jnp.where(cb_obs, m.kf_cub_map, 0)].add(cb_obs.astype(jnp.int32))
     return m._replace(
         kf_valid=m.kf_valid & ~kill_mask,
         kf_kp_valid=m.kf_kp_valid & ~kill_col,
@@ -301,8 +301,6 @@ def cull_keyframes(m: MapState, kill_mask):
         kf_cub_valid=m.kf_cub_valid & ~kill_col,
         kf_cub_map=jnp.where(kill_col, -1, m.kf_cub_map),
         kf_kp_cub=jnp.where(kill_col, -1, m.kf_kp_cub),
-        plane_obs_count=jnp.maximum(m.plane_obs_count - plane_dec, 0),
-        cub_obs_count=jnp.maximum(m.cub_obs_count - cub_dec, 0),
     )
 
 
