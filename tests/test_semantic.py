@@ -99,6 +99,44 @@ def test_full_pipeline_with_planes_and_cuboids():
     assert (obs >= 3).sum() >= 2, f"cuboid obs counts {obs}"
 
 
+def test_combined_cuboid_terms_with_fixed_scale():
+    """Combining the 2D bbox and 3D SE3 cuboid terms is degenerate when the
+    scale is free (a bbox cannot separate yaw from scale: rotating ~45 deg
+    and growing the box reproduces the same bbox), so without dataset-tuned
+    weights the landmark collapses and drags the camera poses.  With the
+    reference's dormant ObjectFixScale variant (VertexCuboidFixScale,
+    Optimizer.cc:2147-2150) enabled, both landmarks stay near ground truth
+    and the trajectory stays sane on a scene where the free-scale combined
+    mode degrades to ~0.29 m ATE."""
+    scene = make_room_scene(n_points=800, n_frames=40, seed=1, with_planes=True, with_cuboids=True)
+    cfg = semantic_config()
+    cfg = cfg.replace(ba=dataclasses.replace(cfg.ba, cuboid_fix_scale=True))
+    tracker = Tracker(CAM, cfg)
+    for i in range(40):
+        frame = render_frame(scene, i, CAM, n_features=512, pix_noise=0.3)
+        pdet = render_plane_detections(scene, i, cfg.caps.max_planes_per_frame)
+        cdet = render_cuboid_detections(scene, i, CAM, cfg.caps.max_cuboids_per_frame)
+        tracker.process_frame(frame, i, plane_det=pdet, cuboid_det=cdet)
+    assert tracker.state == Tracker.OK
+
+    est = [p for _, p in tracker.trajectory]
+    gt = [scene.poses[i] for i, _ in tracker.trajectory]
+    rmse, _ = ate_rmse(est, gt, with_scale=True)
+    assert rmse < 0.2, f"ATE RMSE {rmse:.4f} m with fixed-scale cuboids"
+
+    # both landmarks keep their detector scale and a sane yaw
+    assert tracker.n_cub >= 2
+    for c in range(2):
+        gp, gs = geo.cuboid_from_minimal(jnp.asarray(scene.cuboids[c], jnp.float32))
+        s_err = float(jnp.linalg.norm(tracker.map.cub_scale[c] - gs))
+        assert s_err < 0.05, f"cuboid {c} scale drifted {s_err:.3f} despite fix_scale"
+        R = np.array(tracker.map.cub_pose[c][:3, :3])
+        Rg = np.array(gp[:3, :3])
+        dyaw = np.degrees(np.arctan2(R[1, 0], R[0, 0]) - np.arctan2(Rg[1, 0], Rg[0, 0]))
+        dyaw = abs(((dyaw + 180.0) % 360.0) - 180.0)
+        assert dyaw < 20.0, f"cuboid {c} yaw off by {dyaw:.1f} deg"
+
+
 def test_plane_association_gates():
     from tpuslam.map import mapstate as ms
     from tpuslam.semantic import associate as sa

@@ -39,7 +39,7 @@ def _scale_inv_sigma2(octave, scale_factor: float = 1.2):
     static_argnames=(
         "n_opt", "n_fixed", "n_local_pts",
         "use_planes", "use_cub_2d", "use_corners_2d", "use_cub_3d",
-        "use_pt_obj", "use_cub_plane", "pt_per_cub",
+        "use_pt_obj", "use_cub_plane", "pt_per_cub", "fix_cuboid_scale",
     ),
 )
 def pack_local_ba(
@@ -56,6 +56,7 @@ def pack_local_ba(
     use_pt_obj: bool = False,
     use_cub_plane: bool = False,
     pt_per_cub: int = 64,
+    fix_cuboid_scale: bool = False,
 ):
     """Build a BA problem around ``center_kf``.
 
@@ -262,6 +263,7 @@ def pack_local_ba(
         point_active=point_mask,
         plane_active=plane_active,
         cuboid_active=cuboid_active,
+        cuboid_fix_scale=1.0 if fix_cuboid_scale else 0.0,
     )
     return LocalBAPack(
         state=state,
@@ -409,6 +411,7 @@ def run_local_ba(m: ms.MapState, center_kf: int, cam, cfg):
         use_pt_obj=fl.optimize_with_pt_obj_3d,
         use_cub_plane=fl.optimize_with_cuboid_plane,
         pt_per_cub=caps.max_points_per_cuboid,
+        fix_cuboid_scale=cfg.ba.cuboid_fix_scale,
     )
     w = lm.BAWeights.from_config(cfg.ba)
     state_opt, data_out, chi2s = lm.local_ba(

@@ -103,6 +103,13 @@ class BAConfig:
     max_outside_margin_ratio: float = 1.0
     cuboid_vertex_fixrollpitch: bool = True  # Optimizer.cc:2166-2168
     cuboid_vertex_fixheight: bool = True
+    # Freeze cuboid scale during BA — the reference's dormant ObjectFixScale
+    # path (VertexCuboidFixScale, Optimizer.cc:2147-2150).  A 2D bbox factor
+    # alone cannot separate yaw from scale (rotating ~45 deg and growing the
+    # box reproduces the same bbox), so when combining bbox and SE3 cuboid
+    # terms without dataset-tuned weights, fixing the detector-provided scale
+    # removes the degeneracy.
+    cuboid_fix_scale: bool = False
 
 
 @dataclass(frozen=True)

@@ -57,6 +57,7 @@ def _shard_factors_spec():
         cx=P(),
         cy=P(),
         bf=P(),
+        cuboid_fix_scale=P(),
         **factor_spec,
     )
 

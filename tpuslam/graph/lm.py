@@ -212,6 +212,9 @@ class BAData(NamedTuple):
     cx: jnp.ndarray
     cy: jnp.ndarray
     bf: jnp.ndarray
+    # 1.0 freezes cuboid scale dims in the solve (VertexCuboidFixScale — the
+    # reference's dormant ObjectFixScale path, Optimizer.cc:2147-2150)
+    cuboid_fix_scale: float = 0.0
 
 
 def make_ba_data(
@@ -234,6 +237,7 @@ def make_ba_data(
     plane_active=None,
     cuboid_active=None,
     pt_cub_m: int = 64,
+    cuboid_fix_scale: float = 0.0,
 ):
     """Convenience constructor filling absent factor types with empties."""
     return BAData(
@@ -254,6 +258,7 @@ def make_ba_data(
         cx=cam.cx,
         cy=cam.cy,
         bf=cam.bf,
+        cuboid_fix_scale=cuboid_fix_scale,
     )
 
 
@@ -765,6 +770,11 @@ def _free_mask(state: BAState, data: BAData):
     K, C, Q, D = _layout(state)
     pose_free = jnp.repeat((~data.pose_fixed).astype(jnp.float32), 6, total_repeat_length=6 * K)
     cub_free = jnp.repeat(data.cuboid_active.astype(jnp.float32), 9, total_repeat_length=9 * C)
+    # optionally pin the 3 scale dims of every cuboid (VertexCuboidFixScale)
+    dim9 = jnp.tile(jnp.arange(9), C)
+    cub_free = cub_free * jnp.where(
+        (dim9 >= 6) & (jnp.asarray(data.cuboid_fix_scale) > 0), 0.0, 1.0
+    )
     plane_free = jnp.repeat(data.plane_active.astype(jnp.float32), 3, total_repeat_length=3 * Q)
     return jnp.concatenate([pose_free, cub_free, plane_free])
 
@@ -796,7 +806,12 @@ def lm_iterations(state: BAState, data: BAData, w: BAWeights, n_iters: int, lam0
 
 def gate_observations(state: BAState, data: BAData, w: BAWeights):
     """Disable observations whose chi2 exceeds the per-type threshold or that
-    see the landmark behind the camera (pDepth check in the reference)."""
+    see the landmark behind the camera (pDepth check in the reference).
+
+    Cuboid edges are gated on raw error NORM, not chi2, like the reference:
+    bbox > thHuberBbox2d (80), corners > thHuberConer2d (10), cuboid-plane
+    > planeChi (Optimizer.cc:2771-2833).  The SE3 cuboid edge is left
+    ungated, also like the reference (no gate between its two phases)."""
     m = data.mono
     r = jax.vmap(fac.mono_residual, in_axes=(0, 0, 0, None, None, None, None))(
         state.poses[m.kf], state.points[m.pt], m.uv, data.fx, data.fy, data.cx, data.cy
@@ -825,10 +840,31 @@ def gate_observations(state: BAState, data: BAData, w: BAWeights):
     delta2 = jnp.where(po.kind == 0, w.plane_chi, w.plane_vp_chi)
     plane_ok = po.valid & (chi2 <= delta2)
 
+    Kmat = jnp.eye(3, dtype=jnp.float32)
+    Kmat = Kmat.at[0, 0].set(data.fx).at[1, 1].set(data.fy).at[0, 2].set(data.cx).at[1, 2].set(data.cy)
+    cb = data.cub_bbox
+    r = jax.vmap(fac.cuboid_bbox_residual, in_axes=(0, 0, 0, 0, None))(
+        state.poses[cb.kf], state.cuboid_pose[cb.cub], state.cuboid_scale[cb.cub], cb.bbox, Kmat
+    )
+    bbox_ok = cb.valid & (jnp.linalg.norm(r, axis=-1) <= w.bbox_chi)
+    cc = data.cub_corner
+    r = jax.vmap(fac.cuboid_corner_residual, in_axes=(0, 0, 0, 0, None))(
+        state.poses[cc.kf], state.cuboid_pose[cc.cub], state.cuboid_scale[cc.cub], cc.corners, Kmat
+    )
+    corner_ok = cc.valid & (jnp.linalg.norm(r, axis=-1) <= w.corner_chi)
+    cpq = data.cub_plane
+    r = jax.vmap(fac.cuboid_plane_residual)(
+        state.cuboid_pose[cpq.cub], state.cuboid_scale[cpq.cub], state.planes[cpq.plane], cpq.face
+    )
+    cub_plane_ok = cpq.valid & (jnp.linalg.norm(r, axis=-1) <= w.cub_plane_chi)
+
     return data._replace(
         mono=m._replace(valid=mono_ok),
         stereo=s._replace(valid=stereo_ok),
         plane_obs=po._replace(valid=plane_ok),
+        cub_bbox=cb._replace(valid=bbox_ok),
+        cub_corner=cc._replace(valid=corner_ok),
+        cub_plane=cpq._replace(valid=cub_plane_ok),
     )
 
 
