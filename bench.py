@@ -33,7 +33,10 @@ from tpuslam.kernels import orb
 
 H, W = 480, 640
 N_KPS = 1024  # per-frame features (reference ICL config: 1000)
-N_FRAMES = 32
+# 64 frames per dispatch: the device tunnel costs ~26 ms per round trip
+# regardless of work, so longer device-resident sequences report throughput
+# closer to the chip's actual rate
+N_FRAMES = 64
 FX = FY = 500.0
 CX, CY = 320.0, 240.0
 Z_WALL = 5.0
