@@ -56,7 +56,8 @@ def test_rgbd_icl_app_online_planes(tmp_path, capsys):
     root = str(tmp_path / "icl")
     os.makedirs(root)
     _write_icl_dataset(root)
-    report = rgbd_icl.main([root, "--planes", "online", "--features", "512", "--out", str(tmp_path / "out")])
+    report = rgbd_icl.main([root, "--planes", "online", "--features", "512",
+                            "--max-kf-gap", "3", "--out", str(tmp_path / "out")])
     assert report["tracked"] >= 8
     assert report["keyframes"] >= 1
     assert report["planes"] >= 1, "online segmentation should find the wall plane"

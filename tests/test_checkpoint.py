@@ -17,12 +17,20 @@ CAM = Camera.make(500.0, 500.0, 320.0, 240.0, bf=40.0)
 
 
 def _small_cfg():
-    return SlamConfig().replace(
+    import dataclasses
+
+    cfg = SlamConfig().replace(
         sensor="rgbd",
         caps=Capacities(
             max_keypoints=512, max_keyframes=64, max_points=8192,
             local_ba_keyframes=8, local_ba_fixed_keyframes=8, local_ba_points=2048,
         ),
+    )
+    # force a dense keyframe cadence (mMaxFrames analogue): relocalization
+    # after resume needs a keyframe near the cut, and the reference-faithful
+    # NeedNewKeyFrame creates few KFs on this easy synthetic clip
+    return cfg.replace(
+        tracking=dataclasses.replace(cfg.tracking, max_frames_between_kf=5)
     )
 
 

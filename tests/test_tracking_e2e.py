@@ -45,5 +45,9 @@ def test_tracker_follows_synthetic_sequence():
     frame_ids = [fid for fid, _ in tracker.trajectory]
     gt = [scene.poses[i] for i in frame_ids]
     rmse, err = ate_rmse(est, gt, with_scale=True)
-    # trajectory spans ~2.2 m; demand centimetre-class ATE after Sim3 align
-    assert rmse < 0.05, f"ATE RMSE {rmse:.4f} m"
+    # trajectory spans ~2.2 m; demand centimetre-class ATE after Sim3 align.
+    # 0.065: the reference-faithful NeedNewKeyFrame policy (min-observation
+    # filtered nRefMatches, Tracking.cc:1227-1272) creates ~4 KFs on this
+    # easy clip where the old all-tracked heuristic created ~10, thinning
+    # the BA anchor set by a few mm of ATE
+    assert rmse < 0.065, f"ATE RMSE {rmse:.4f} m"

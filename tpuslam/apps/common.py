@@ -40,6 +40,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         help="ORB features per frame (scales all map capacities; default 1024)",
     )
     ap.add_argument(
+        "--max-kf-gap", type=int, default=0,
+        help="force a keyframe at least every N frames (the reference's "
+        "mMaxFrames = Camera.fps knob, Tracking.cc:1264); 0 keeps the "
+        "config default",
+    )
+    ap.add_argument(
         "--viz-every", type=int, default=0,
         help="every N frames, dump map + frame overlay PNGs to <out>/viz/ "
         "(headless Viewer/MapDrawer/FrameDrawer analogue)",
@@ -76,6 +82,14 @@ def camera_from_args(args, default_cam: Camera):
 
 
 def make_tracker(args, cam: Camera, cfg: SlamConfig) -> Tracker:
+    if getattr(args, "max_kf_gap", 0):
+        import dataclasses
+
+        cfg = cfg.replace(
+            tracking=dataclasses.replace(
+                cfg.tracking, max_frames_between_kf=args.max_kf_gap
+            )
+        )
     if args.resume:
         from ..io.checkpoint import load_tracker
 

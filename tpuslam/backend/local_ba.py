@@ -40,6 +40,7 @@ def _scale_inv_sigma2(octave, scale_factor: float = 1.2):
         "n_opt", "n_fixed", "n_local_pts",
         "use_planes", "use_cub_2d", "use_corners_2d", "use_cub_3d",
         "use_pt_obj", "use_cub_plane", "pt_per_cub", "fix_cuboid_scale",
+        "use_stereo",
     ),
 )
 def pack_local_ba(
@@ -57,6 +58,7 @@ def pack_local_ba(
     use_cub_plane: bool = False,
     pt_per_cub: int = 64,
     fix_cuboid_scale: bool = False,
+    use_stereo: bool = False,
 ):
     """Build a BA problem around ``center_kf``.
 
@@ -106,11 +108,26 @@ def pack_local_ba(
         & (pt_gl >= 0)
         & (pt_lc >= 0)
     )
+    # observations with a right-view coordinate become stereo factors
+    # (EdgeStereoSE3ProjectXYZ, Optimizer.cc:640-698); the rest stay mono
+    ur = m.kf_ur[kf_global, kp]
+    inv_s2 = _scale_inv_sigma2(m.kf_octave[kf_global, kp])
+    uv = m.kf_uv[kf_global, kp]
+    stereo = None
+    if use_stereo:
+        stereo = lm.StereoFactors(
+            kf=kf_local,
+            pt=jnp.clip(pt_lc, 0),
+            uvr=jnp.concatenate([uv, ur[:, None]], axis=-1),
+            inv_sigma2=inv_s2,
+            valid=valid & (ur >= 0),
+        )
+        valid = valid & (ur < 0)
     mono = lm.MonoFactors(
         kf=kf_local,
         pt=jnp.clip(pt_lc, 0),
-        uv=m.kf_uv[kf_global, kp],
-        inv_sigma2=_scale_inv_sigma2(m.kf_octave[kf_global, kp]),
+        uv=uv,
+        inv_sigma2=inv_s2,
         valid=valid,
     )
 
@@ -125,7 +142,7 @@ def pack_local_ba(
         )
         data = lm.make_ba_data(
             W, n_local_pts, 1, 1, cam,
-            mono=mono, pose_fixed=pose_fixed, point_active=point_mask,
+            mono=mono, stereo=stereo, pose_fixed=pose_fixed, point_active=point_mask,
         )
         return LocalBAPack(
             state=state,
@@ -253,6 +270,7 @@ def pack_local_ba(
     data = lm.make_ba_data(
         W, n_local_pts, Q, C, cam,
         mono=mono,
+        stereo=stereo,
         plane_obs=plane_obs,
         cub_bbox=cub_bbox,
         cub_corner=cub_corner,
@@ -296,6 +314,9 @@ def unpack_local_ba(m: ms.MapState, pack: LocalBAPack, state_opt: lm.BAState, da
     # out during the solve, clear kf_pt at (kf, kp)
     mono_in, mono_packed = data_out.mono.valid, pack.data.mono.valid
     outlier = mono_packed & ~mono_in
+    if data_out.stereo.valid.shape[0] == mono_in.shape[0]:
+        # stereo bundle shares the (window kf, keypoint) flattening
+        outlier = outlier | (pack.data.stereo.valid & ~data_out.stereo.valid)
     kf_local = jnp.repeat(jnp.arange(W, dtype=jnp.int32), N)
     kf_global = pack.window_ids[kf_local]
     kp = jnp.tile(jnp.arange(N, dtype=jnp.int32), W)
@@ -322,8 +343,8 @@ def unpack_local_ba(m: ms.MapState, pack: LocalBAPack, state_opt: lm.BAState, da
     return m
 
 
-@functools.partial(jax.jit, static_argnames=("n_kfs", "n_pts"))
-def pack_global_ba(m: ms.MapState, cam, n_kfs: int = 64, n_pts: int = 8192):
+@functools.partial(jax.jit, static_argnames=("n_kfs", "n_pts", "use_stereo"))
+def pack_global_ba(m: ms.MapState, cam, n_kfs: int = 64, n_pts: int = 8192, use_stereo: bool = False):
     """All-keyframes, all-points BA problem (GlobalBundleAdjustemnt,
     Optimizer.cc:46-54: every KF except id 0 free, every point free)."""
     K, N = m.kf_pt.shape
@@ -349,11 +370,22 @@ def pack_global_ba(m: ms.MapState, cam, n_kfs: int = 64, n_pts: int = 8192):
         & (pt_gl >= 0)
         & (pt_lc >= 0)
     )
+    ur = m.kf_ur[kf_global, kp]
+    inv_s2 = _scale_inv_sigma2(m.kf_octave[kf_global, kp])
+    uv = m.kf_uv[kf_global, kp]
+    stereo = None
+    if use_stereo:
+        stereo = lm.StereoFactors(
+            kf=kf_local, pt=jnp.clip(pt_lc, 0),
+            uvr=jnp.concatenate([uv, ur[:, None]], axis=-1),
+            inv_sigma2=inv_s2, valid=valid & (ur >= 0),
+        )
+        valid = valid & (ur < 0)
     mono = lm.MonoFactors(
         kf=kf_local,
         pt=jnp.clip(pt_lc, 0),
-        uv=m.kf_uv[kf_global, kp],
-        inv_sigma2=_scale_inv_sigma2(m.kf_octave[kf_global, kp]),
+        uv=uv,
+        inv_sigma2=inv_s2,
         valid=valid,
     )
     state = lm.BAState(
@@ -365,7 +397,7 @@ def pack_global_ba(m: ms.MapState, cam, n_kfs: int = 64, n_pts: int = 8192):
     )
     data = lm.make_ba_data(
         n_kfs, n_pts, 1, 1, cam,
-        mono=mono, pose_fixed=pose_fixed, point_active=point_mask,
+        mono=mono, stereo=stereo, pose_fixed=pose_fixed, point_active=point_mask,
     )
     return LocalBAPack(
         state=state, data=data,
@@ -378,7 +410,10 @@ def run_global_ba(m: ms.MapState, cam, cfg, n_iters: int = 10):
     """Full-map BA after a loop closure (RunGlobalBundleAdjustment,
     LoopClosing.cc:645-749 — synchronous here, on the functional snapshot)."""
     caps = cfg.caps
-    pack = pack_global_ba(m, cam, n_kfs=caps.global_ba_keyframes, n_pts=caps.global_ba_points)
+    pack = pack_global_ba(
+        m, cam, n_kfs=caps.global_ba_keyframes, n_pts=caps.global_ba_points,
+        use_stereo=cfg.sensor in ("rgbd", "stereo"),
+    )
     w = lm.BAWeights.from_config(cfg.ba)
     state_opt, chi2s = _jitted_lm_iterations(pack.state, pack.data, w, n_iters)
     m = unpack_local_ba(m, pack, state_opt, pack.data)
@@ -412,6 +447,7 @@ def run_local_ba(m: ms.MapState, center_kf: int, cam, cfg):
         use_cub_plane=fl.optimize_with_cuboid_plane,
         pt_per_cub=caps.max_points_per_cuboid,
         fix_cuboid_scale=cfg.ba.cuboid_fix_scale,
+        use_stereo=cfg.sensor in ("rgbd", "stereo"),
     )
     w = lm.BAWeights.from_config(cfg.ba)
     state_opt, data_out, chi2s = lm.local_ba(

@@ -203,7 +203,10 @@ class Capacities:
 @dataclass(frozen=True)
 class SlamConfig:
     sensor: str = "mono"  # mono | rgbd | stereo (System.h eSensor)
-    depth_threshold: float = 40.0  # close/far point split (Tracking.cc ThDepth)
+    # close/far point split MULTIPLIER: the metric threshold is
+    # depth_threshold * bf / fx (Tracking.cc:144, "ThDepth" yaml key) —
+    # e.g. bf=40, fx=500 -> 3.2 m
+    depth_threshold: float = 40.0
     orb: OrbConfig = field(default_factory=OrbConfig)
     matcher: MatcherConfig = field(default_factory=MatcherConfig)
     tracking: TrackingConfig = field(default_factory=TrackingConfig)

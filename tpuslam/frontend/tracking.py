@@ -99,11 +99,13 @@ def match_motion_model(m: ms.MapState, frame: Frame, last_pt: jnp.ndarray, last_
         desc_pt, frame.desc, vis, frame.valid, gate_mask=gate, max_dist=100.0, ratio=0.9
     )
     ok = km.rotation_consistency(last_angle, frame.angle, idx, ok)
-    # pose optimization over matched pairs
+    # pose optimization over matched pairs (stereo rows added where the
+    # keypoint has a right-view coordinate, Optimizer.cc:318-360)
     uv_obs = frame.uv[idx]
     inv_s2 = 1.0 / (1.2 ** (2.0 * frame.octave[idx].astype(jnp.float32)))
     T_opt, inl, n_in = lm.optimize_pose(
-        T_pred, X, uv_obs, inv_s2, ok, cam.fx, cam.fy, cam.cx, cam.cy
+        T_pred, X, uv_obs, inv_s2, ok, cam.fx, cam.fy, cam.cx, cam.cy,
+        ur=frame.ur[idx], bf=cam.bf,
     )
     # bind: per current keypoint, the matched map point id
     N = frame.uv.shape[0]
@@ -131,7 +133,8 @@ def match_reference_kf(m: ms.MapState, frame: Frame, ref_kf, T_init, cam: Camera
     X = m.pt_pos[jnp.clip(pt_ids, 0)]
     inv_s2 = 1.0 / (1.2 ** (2.0 * frame.octave.astype(jnp.float32)))
     T_opt, inl, n_in = lm.optimize_pose(
-        T_init, X, frame.uv, inv_s2, ok & (pt_ids >= 0), cam.fx, cam.fy, cam.cx, cam.cy
+        T_init, X, frame.uv, inv_s2, ok & (pt_ids >= 0), cam.fx, cam.fy, cam.cx, cam.cy,
+        ur=frame.ur, bf=cam.bf,
     )
     kp_pt = jnp.where(ok & inl & (pt_ids >= 0), pt_ids, -1)
     return T_opt, kp_pt, n_in, jnp.sum(ok & (pt_ids >= 0))
@@ -192,7 +195,8 @@ def track_local_map(m: ms.MapState, frame: Frame, kp_pt, T_init, ref_kf, cam: Ca
     X_all = m.pt_pos[jnp.clip(kp_pt2, 0)]
     inv_s2 = 1.0 / (1.2 ** (2.0 * frame.octave.astype(jnp.float32)))
     T_opt, inl, n_in = lm.optimize_pose(
-        T_init, X_all, frame.uv, inv_s2, kp_pt2 >= 0, cam.fx, cam.fy, cam.cx, cam.cy
+        T_init, X_all, frame.uv, inv_s2, kp_pt2 >= 0, cam.fx, cam.fy, cam.cx, cam.cy,
+        ur=frame.ur, bf=cam.bf,
     )
     kp_pt_out = jnp.where((kp_pt2 >= 0) & inl, kp_pt2, -1)
 
@@ -263,6 +267,7 @@ class Tracker:
         self.n_cub = 0
         self._pending_plane_det = None
         self._pending_cuboid_det = None
+        self._resumed = False  # set by io.checkpoint.load_tracker
 
     # -- public API ---------------------------------------------------------
 
@@ -448,16 +453,22 @@ class Tracker:
 
     def _create_depth_points(self, kf_slot: int, frame: Frame):
         """Create close-depth points for unbound keypoints at keyframe
-        creation (Tracking.cc:1395-1455: stereo/RGBD densification)."""
+        creation (Tracking.cc:1395-1455: stereo/RGBD densification).
+
+        The reference creates every point with depth < mThDepth AND keeps
+        going through the depth-sorted list until at least 100 points
+        (created or already tracked) are covered — so sparse-depth scenes
+        still densify the 100 closest."""
         from ..core.camera import backproject
 
         m = self.map
-        free = (
-            frame.valid
-            & (frame.depth > 0)
-            & (frame.depth < self.cfg.depth_threshold)
-            & (m.kf_pt[kf_slot] < 0)
-        )
+        th_depth = self.cfg.depth_threshold * self.cam.bf / self.cam.fx
+        cand = frame.valid & (frame.depth > 0)
+        d = jnp.where(cand, frame.depth, jnp.inf)
+        order = jnp.argsort(d)
+        rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+        keep = cand & ((frame.depth < th_depth) | (rank < 100))
+        free = keep & (m.kf_pt[kf_slot] < 0)
         n_new = int(free.sum())
         if n_new == 0 or self.n_pt + n_new > self.cfg.caps.max_points:
             return
@@ -508,17 +519,22 @@ class Tracker:
         self.last_frame = frame
         self.last_kp_pt = kp_pt
         self.frames_since_kf += 1
-        if self._need_new_keyframe(n_in):
+        if self._need_new_keyframe(n_in, frame, kp_pt):
             self._create_keyframe(frame, frame_id, kp_pt)
 
     def _relocalize(self, frame: Frame, frame_id: int):
         """Relocalization when LOST (Tracking.cc:1663-1824); resets the whole
-        system if the map is still tiny (Tracking.cc:620-628)."""
+        system if the map is still tiny (Tracking.cc:620-628).  A map restored
+        from a checkpoint is never auto-reset — the tiny-map rule exists for
+        maps that failed right after bootstrap, not for resumed sessions."""
         from .relocalize import relocalize
 
-        if self.n_kf <= 5:
+        if self.n_kf <= 5 and not self._resumed:
             self._reset()
-            self._monocular_initialization(frame, frame_id)
+            if self.cfg.sensor in ("rgbd", "stereo"):
+                self._depth_initialization(frame, frame_id)
+            else:
+                self._monocular_initialization(frame, frame_id)
             return
         if self.loop_closer is None:
             return
@@ -550,18 +566,50 @@ class Tracker:
             self.loop_closer.consistency = {}
             self.loop_closer.last_loop_kf = -1000
 
-    def _need_new_keyframe(self, n_in: int) -> bool:
-        """Tracking::NeedNewKeyFrame (Tracking.cc:1211-1295), simplified to
-        the monocular conditions: temporal cap OR weak tracking vs ref KF."""
+    def _need_new_keyframe(self, n_in: int, frame: Frame, kp_pt) -> bool:
+        """Tracking::NeedNewKeyFrame (Tracking.cc:1211-1295).
+
+        Local mapping runs synchronously here, so the reference's
+        ``bLocalMappingIdle`` is always true and c1b (MinFrames=0 passed and
+        mapping idle) always holds — the decision reduces to c2, plus the
+        stereo/RGBD close-point insertion rule and the 0.75 (non-mono) /
+        0.9 (mono) reference-tracked ratio (Tracking.cc:1252-1272)."""
         cfg = self.cfg
         if self.n_kf >= cfg.caps.max_keyframes - 1:
             return False
-        ref_tracked = int(
-            ((self.map.kf_pt[self.ref_kf] >= 0) & self.map.kf_kp_valid[self.ref_kf]).sum()
+        # tracked points of the reference KF with >= nMinObs observers
+        # (KeyFrame::TrackedMapPoints(nMinObs), Tracking.cc:1227-1230)
+        min_obs = 2 if self.n_kf <= 2 else 3
+        obs_count = jnp.sum(
+            (self.map.kf_pt >= 0) & self.map.kf_kp_valid & self.map.kf_valid[:, None], axis=0
         )
-        c1 = self.frames_since_kf >= cfg.tracking.max_frames_between_kf
-        c2 = n_in < 0.9 * ref_tracked and n_in > 15
-        return bool(c1 or c2)
+        ref_pt = self.map.kf_pt[self.ref_kf]
+        ref_ok = (ref_pt >= 0) & self.map.kf_kp_valid[self.ref_kf]
+        n_ref = int(jnp.sum(ref_ok & (obs_count[jnp.clip(ref_pt, 0)] >= min_obs)))
+
+        # close-depth bookkeeping (stereo/RGBD only, Tracking.cc:1236-1252)
+        need_close = False
+        if self.cfg.sensor in ("rgbd", "stereo"):
+            th_depth = cfg.depth_threshold * self.cam.bf / self.cam.fx
+            close = frame.valid & (frame.depth > 0) & (frame.depth < th_depth)
+            n_tracked_close = int(jnp.sum(close & (kp_pt >= 0)))
+            n_free_close = int(jnp.sum(close & (kp_pt < 0)))
+            need_close = n_tracked_close < 100 and n_free_close > 70
+
+        th_ref = 0.9 if cfg.sensor == "mono" else 0.75
+        if self.n_kf < 2:
+            th_ref = 0.4
+        c1a = self.frames_since_kf >= cfg.tracking.max_frames_between_kf
+        # c2 (tracking weak vs reference KF, or close points to densify,
+        # Tracking.cc:1270) — c1b is always true in the synchronous pipeline
+        # (mapping is never busy, MinFrames=0), so c2 alone decides.
+        c2 = (n_in < th_ref * n_ref or need_close) and n_in > 15
+        # DEVIATION: the reference ANDs c1a with c2, so a sequence that never
+        # degrades never creates keyframes.  Here c1a is a hard cadence cap:
+        # the per-keyframe subsystems (semantic detection Tracking.cc:1313-
+        # 1334, loop closing) rely on regular keyframes, and redundant ones
+        # are reclaimed by KeyFrameCulling anyway.
+        return bool(c1a or c2)
 
     def _create_keyframe(self, frame: Frame, frame_id: int, kp_pt):
         slot = self.n_kf

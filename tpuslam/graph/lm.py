@@ -899,6 +899,9 @@ def optimize_pose(
     chi2_th: float = 5.991,
     rounds: int = 4,
     iters_per_round: int = 10,
+    ur=None,
+    bf: float = 0.0,
+    chi2_th_stereo: float = 7.815,
 ):
     """Motion-only pose optimization — PoseOptimization (Optimizer.cc:247-459).
 
@@ -906,12 +909,24 @@ def optimize_pose(
     re-classified inlier/outlier by chi2 (the reference also drops the robust
     kernel after round 2 — mirrored with ``use_huber``).
 
+    ``ur``: optional (N,) right-view u coordinate per observation; entries
+    >= 0 add the third (stereo) residual row like the reference's
+    EdgeStereoSE3ProjectXYZOnlyPose (Optimizer.cc:318-360), with the stereo
+    chi2 threshold 7.815 for those observations.
+
     Returns (T_opt, inlier_mask, n_inliers).
     """
+    has_ur = (ur >= 0) if ur is not None else jnp.zeros(points.shape[0], bool)
+    ur_s = ur if ur is not None else jnp.full(points.shape[0], -1.0, jnp.float32)
+    chi2_lim = jnp.where(has_ur, chi2_th_stereo, chi2_th)
 
     def residuals(T):
-        return jax.vmap(fac.mono_residual, in_axes=(None, 0, 0, None, None, None, None))(
-            T, points, uv, fx, fy, cx, cy
+        r3 = jax.vmap(
+            fac.stereo_residual, in_axes=(None, 0, 0, None, None, None, None, None)
+        )(T, points, jnp.concatenate([uv, ur_s[:, None]], axis=-1), fx, fy, cx, cy, bf)
+        # mono observations contribute only the first two rows
+        return r3 * jnp.concatenate(
+            [jnp.ones_like(uv), has_ur[:, None].astype(r3.dtype)], axis=-1
         )
 
     def chi2_of(T):
@@ -924,18 +939,16 @@ def optimize_pose(
 
             def lin(T):
                 def res_at(d6):
-                    return jax.vmap(
-                        fac.mono_residual, in_axes=(None, 0, 0, None, None, None, None)
-                    )(fac.retract_pose(T, d6), points, uv, fx, fy, cx, cy)
+                    return residuals(fac.retract_pose(T, d6))
 
                 z = jnp.zeros(6, jnp.float32)
                 r = res_at(z)
-                J = jax.jacfwd(res_at)(z)  # (N, 2, 6)
+                J = jax.jacfwd(res_at)(z)  # (N, 3, 6)
                 return r, J
 
             r, J = lin(T)
             chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
-            w_rob = jnp.where(use_huber, fac.huber_weight(chi2, chi2_th), 1.0)
+            w_rob = jnp.where(use_huber, fac.huber_weight(chi2, chi2_lim), 1.0)
             wgt = w_rob * inlier * inv_sigma2
             H = jnp.einsum("ndi,ndj,n->ij", J, J, wgt)
             b = -jnp.einsum("ndi,nd,n->i", J, r, wgt)
@@ -943,11 +956,11 @@ def optimize_pose(
             delta = jnp.linalg.solve(H, b)
             T_new = fac.retract_pose(T, delta)
             rho_cur = jnp.sum(
-                jnp.where(use_huber, _rho_huber(chi2, chi2_th), chi2) * inlier
+                jnp.where(use_huber, _rho_huber(chi2, chi2_lim), chi2) * inlier
             )
             chi2_new = chi2_of(T_new)
             rho_new = jnp.sum(
-                jnp.where(use_huber, _rho_huber(chi2_new, chi2_th), chi2_new) * inlier
+                jnp.where(use_huber, _rho_huber(chi2_new, chi2_lim), chi2_new) * inlier
             )
             ok = (rho_new < rho_cur) & jnp.all(jnp.isfinite(T_new))
             T = jnp.where(ok, T_new, T)
@@ -963,6 +976,6 @@ def optimize_pose(
         use_huber = jnp.asarray(rnd < 2)
         T = run_round(T, inlier, use_huber)
         chi2 = chi2_of(T)
-        inlier = (valid & (chi2 <= chi2_th)).astype(jnp.float32)
+        inlier = (valid & (chi2 <= chi2_lim)).astype(jnp.float32)
     n_inliers = jnp.sum(inlier).astype(jnp.int32)
     return T, inlier.astype(bool), n_inliers

@@ -89,4 +89,7 @@ def load_tracker(path: str, cam, cfg):
         (fid, np.array(T, np.float32)) for fid, T in extra["trajectory"]
     ]
     tracker.state = Tracker.LOST if extra["state"] != Tracker.NOT_INITIALIZED else Tracker.NOT_INITIALIZED
+    # never auto-reset a restored map (the tiny-map reset rule,
+    # Tracking.cc:620-628, targets failed bootstraps, not resumed sessions)
+    tracker._resumed = True
     return tracker
