@@ -69,3 +69,32 @@ def test_tracker_resume_continues_tracking(tmp_path):
     gt = scene.poses[fid]
     t_err = np.linalg.norm(np.asarray(T)[:3, 3] - gt[:3, 3])
     assert t_err < 0.1, f"resumed pose error {t_err:.3f} m"
+
+
+def test_localization_only_mode_freezes_map(tmp_path):
+    """System::ActivateLocalizationMode parity: a tracker in localization
+    mode localizes against a restored map without mutating it."""
+    scene = make_room_scene(n_points=800, n_frames=30, seed=4)
+    cfg = _small_cfg()
+    tracker = Tracker(CAM, cfg)
+    for i in range(18):
+        tracker.process_frame(render_frame(scene, i, CAM, n_features=512, with_depth=True), i)
+    p = str(tmp_path / "ckpt.npz")
+    save_tracker(p, tracker)
+
+    loc = load_tracker(p, CAM, cfg)
+    loc.set_localization_mode(True)
+    n_kf, n_pt = loc.n_kf, loc.n_pt
+    poses_before = np.array(loc.map.kf_pose)
+    pts_before = np.array(loc.map.pt_pos)
+    for i in range(18, 30):
+        loc.process_frame(render_frame(scene, i, CAM, n_features=512, with_depth=True), i)
+    assert loc.state == Tracker.OK, "localization-only tracker lost"
+    # the map is frozen: no new keyframes/points, geometry untouched
+    assert loc.n_kf == n_kf and loc.n_pt == n_pt
+    np.testing.assert_array_equal(np.array(loc.map.kf_pose), poses_before)
+    np.testing.assert_array_equal(np.array(loc.map.pt_pos), pts_before)
+    # and poses are still metric-accurate
+    fid, T = loc.trajectory[-1]
+    t_err = np.linalg.norm(np.asarray(T)[:3, 3] - scene.poses[fid][:3, 3])
+    assert t_err < 0.1, f"localization-only pose error {t_err:.3f} m"

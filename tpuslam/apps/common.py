@@ -36,6 +36,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     ap.add_argument("--checkpoint", default="", help="save a map checkpoint here at the end")
     ap.add_argument("--resume", default="", help="resume from a map checkpoint")
     ap.add_argument(
+        "--localization-only", action="store_true",
+        help="freeze the map and only localize against it (System::"
+        "ActivateLocalizationMode); meaningful with --resume",
+    )
+    ap.add_argument(
         "--features", type=int, default=0,
         help="ORB features per frame (scales all map capacities; default 1024)",
     )
@@ -93,8 +98,12 @@ def make_tracker(args, cam: Camera, cfg: SlamConfig) -> Tracker:
     if args.resume:
         from ..io.checkpoint import load_tracker
 
-        return load_tracker(args.resume, cam, cfg)
-    return Tracker(cam, cfg)
+        tracker = load_tracker(args.resume, cam, cfg)
+    else:
+        tracker = Tracker(cam, cfg)
+    if getattr(args, "localization_only", False):
+        tracker.set_localization_mode(True)
+    return tracker
 
 
 def run_loop(tracker: Tracker, items, sensor: str, prof: Profiler, per_frame=None, args=None):

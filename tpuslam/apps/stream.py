@@ -69,6 +69,8 @@ def main(argv=None):
     ap.add_argument("--out", default=".")
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--resume", default="")
+    ap.add_argument("--localization-only", action="store_true",
+                    help="freeze the map and only localize against it")
     ap.add_argument("--save-kitti", action="store_true")
     args = ap.parse_args(argv)
 
@@ -80,6 +82,8 @@ def main(argv=None):
         tracker = load_tracker(args.resume, cam, cfg)
     else:
         tracker = Tracker(cam, cfg)
+    if args.localization_only:
+        tracker.set_localization_mode(True)
 
     prof = Profiler()
     frame_times = []

@@ -210,6 +210,39 @@ def track_local_map(m: ms.MapState, frame: Frame, kp_pt, T_init, ref_kf, cam: Ca
 
 
 @jax.jit
+def match_motion_model_vo(m: ms.MapState, last_frame: Frame, T_last, frame: Frame, T_pred, cam: Camera, radius):
+    """Visual-odometry fallback for localization-only mode: match the current
+    frame against the LAST FRAME's keypoints, backprojecting those with a
+    depth measurement — the reference's temporal points from UpdateLastFrame
+    (Tracking.cc:1045-1097, created only when mbOnlyTracking).  Descriptors
+    come from the last frame itself; nothing touches the map."""
+    has_d = last_frame.valid & (last_frame.depth > 0)
+    from ..core.camera import backproject
+
+    X = geo.se3_apply(geo.se3_inv(T_last), backproject(cam, last_frame.uv, last_frame.depth))
+    pc = geo.se3_apply(T_pred, X)
+    uv_pred = jnp.stack(
+        [
+            cam.fx * pc[:, 0] / jnp.maximum(pc[:, 2], 1e-6) + cam.cx,
+            cam.fy * pc[:, 1] / jnp.maximum(pc[:, 2], 1e-6) + cam.cy,
+        ],
+        axis=-1,
+    )
+    vis = has_d & (pc[:, 2] > 0)
+    gate = km.window_gate(uv_pred, frame.uv, radius)
+    idx, dist, ok = km.match_descriptors(
+        last_frame.desc, frame.desc, vis, frame.valid, gate_mask=gate, max_dist=100.0, ratio=0.9
+    )
+    ok = km.rotation_consistency(last_frame.angle, frame.angle, idx, ok)
+    inv_s2 = 1.0 / (1.2 ** (2.0 * frame.octave[idx].astype(jnp.float32)))
+    T_opt, inl, n_in = lm.optimize_pose(
+        T_pred, X, frame.uv[idx], inv_s2, ok, cam.fx, cam.fy, cam.cx, cam.cy,
+        ur=frame.ur[idx], bf=cam.bf,
+    )
+    return T_opt, n_in
+
+
+@jax.jit
 def match_for_init(f1: Frame, f2: Frame):
     """SearchForInitialization (ORBmatcher.cc:405): 100px window, 0.9 ratio,
     rotation consistency."""
@@ -268,6 +301,15 @@ class Tracker:
         self._pending_plane_det = None
         self._pending_cuboid_det = None
         self._resumed = False  # set by io.checkpoint.load_tracker
+        self.localization_only = False
+
+    def set_localization_mode(self, on: bool):
+        """System::ActivateLocalizationMode / DeactivateLocalizationMode
+        (System.cc:118-133, 245-277): when on, the map is frozen — no
+        keyframes, no mapping, no loop closing; tracking localizes against
+        the existing map with a last-frame visual-odometry fallback for
+        stereo/RGBD (the reference's mbOnlyTracking + temporal points)."""
+        self.localization_only = bool(on)
 
     # -- public API ---------------------------------------------------------
 
@@ -340,6 +382,20 @@ class Tracker:
             self.trajectory.append((frame_id, np.array(self.T_cur)))
         return np.array(self.T_cur) if self.state == self.OK else None
 
+    def _update_bow(self, kf_slot: int):
+        """BoW vector for a keyframe created outside the loop closer's
+        on_keyframe path (initialization keyframes) — relocalization scores
+        against kf_bow, so every keyframe must carry one
+        (KeyFrame::ComputeBoW in ProcessNewKeyFrame, LocalMapping.cc:161-205)."""
+        if self.loop_closer is None:
+            return
+        from ..place import vocab as vb
+
+        bow = vb.bow_vector(
+            self.loop_closer.vocab, self.map.kf_desc[kf_slot], self.map.kf_kp_valid[kf_slot]
+        )
+        self.map = self.map._replace(kf_bow=self.map.kf_bow.at[kf_slot].set(bow))
+
     # -- initialization -------------------------------------------------------
 
     def _monocular_initialization(self, frame: Frame, frame_id: int):
@@ -407,6 +463,8 @@ class Tracker:
         )
         self.n_kf = 2
         self.n_pt += n_new
+        self._update_bow(0)
+        self._update_bow(1)
         self.map = ms.update_point_stats(self.map)
         self.map, _ = run_local_ba(self.map, 1, self.cam, self.cfg)
         self.T_cur = self.map.kf_pose[1]
@@ -442,6 +500,7 @@ class Tracker:
         )
         self.n_kf = 1
         self.n_pt += n_new
+        self._update_bow(0)
         self.map = ms.update_point_stats(self.map)
         self.T_cur = jnp.eye(4)
         self.velocity = jnp.eye(4)
@@ -498,6 +557,21 @@ class Tracker:
         )
         n_in = int(n_in)
         if n_in < cfg.tracking.min_track_motion:
+            if self.localization_only and self.cfg.sensor in ("rgbd", "stereo"):
+                # visual-odometry fallback against the last frame's depth
+                # (mbOnlyTracking temporal points, Tracking.cc:1045-1097)
+                T_vo, n_vo = match_motion_model_vo(
+                    self.map, self.last_frame, self.T_cur, frame, T_pred,
+                    self.cam, cfg.tracking.search_radius_motion,
+                )
+                if int(n_vo) >= cfg.tracking.min_track_motion:
+                    self.velocity = T_vo @ geo.se3_inv(self.T_cur)
+                    self.T_cur = T_vo
+                    self.last_frame = frame
+                    self.last_kp_pt = kp_pt
+                    self.n_inliers = int(n_vo)
+                    self.frames_since_kf += 1
+                    return
             T_opt, kp_pt, n_in, n_matches = match_reference_kf(
                 self.map, frame, self.ref_kf, self.T_cur, self.cam
             )
@@ -519,6 +593,8 @@ class Tracker:
         self.last_frame = frame
         self.last_kp_pt = kp_pt
         self.frames_since_kf += 1
+        if self.localization_only:
+            return  # frozen map: no keyframes, no mapping (mbOnlyTracking)
         if self._need_new_keyframe(n_in, frame, kp_pt):
             self._create_keyframe(frame, frame_id, kp_pt)
 

@@ -189,4 +189,12 @@ class LoopCloser:
         new_poses = jnp.where(m.kf_valid[:, None, None], new_poses, m.kf_pose)
         pts = correct_points_for_sim3(m.pt_pos, jnp.clip(m.pt_first_kf, 0, K - 1), S_old, S_new)
         pts = jnp.where(m.pt_valid[:, None], pts, m.pt_pos)
-        return m._replace(kf_pose=new_poses, pt_pos=pts)
+        m = m._replace(kf_pose=new_poses, pt_pos=pts)
+        # fuse duplicate landmarks around the weld: after correction the
+        # current KF and the loop KF see the same structure twice
+        # (LoopClosing::SearchAndFuse, LoopClosing.cc:542, 587-613)
+        from ..backend.mapping import fuse_duplicates
+
+        m = fuse_duplicates(m, jnp.int32(kf_cur), self.cam.K)
+        m = fuse_duplicates(m, jnp.int32(kf_loop), self.cam.K)
+        return m
