@@ -49,6 +49,11 @@ class TrackingConfig:
     min_track_localmap: int = 30  # TrackLocalMap accept (Tracking.cc:1199)
     max_local_keyframes: int = 80  # local map KF cap (Tracking.cc:1607)
     search_radius_motion: float = 15.0  # th for SearchByProjection, mono
+    # local-map search radius in pixels (SearchLocalPoints,
+    # Tracking.cc:1504-1511 uses th=1 mono / th=3 RGBD; here one knob —
+    # widening it admits ambiguous neighbours through the ratio test on
+    # dense maps, so the default stays tight for all sensors)
+    search_radius_localmap: float = 6.0
     min_frames_between_kf: int = 0
     max_frames_between_kf: int = 30  # == fps
     reloc_min_inliers: int = 50  # Relocalization accept (Tracking.cc:1805)

@@ -141,7 +141,7 @@ def match_reference_kf(m: ms.MapState, frame: Frame, ref_kf, T_init, cam: Camera
 
 
 @functools.partial(jax.jit, static_argnames=("n_local",))
-def track_local_map(m: ms.MapState, frame: Frame, kp_pt, T_init, ref_kf, cam: Camera, n_local: int = 4096):
+def track_local_map(m: ms.MapState, frame: Frame, kp_pt, T_init, ref_kf, cam: Camera, n_local: int = 4096, radius=6.0):
     """TrackLocalMap (Tracking.cc:1163-1208): project the covisibility-local
     point set, bind additional keypoints, optimize the pose again.
 
@@ -181,7 +181,7 @@ def track_local_map(m: ms.MapState, frame: Frame, kp_pt, T_init, ref_kf, cam: Ca
     already = jnp.zeros((P + 1,), bool).at[jnp.where(kp_pt >= 0, kp_pt, P)].set(True)[:P]
     candidate = visible & ~already[pt_ids]
     kp_free = frame.valid & (kp_pt < 0)
-    gate = km.window_gate(uv_proj, frame.uv, 6.0)
+    gate = km.window_gate(uv_proj, frame.uv, radius)
     idx, dist, ok = km.match_descriptors(
         m.pt_desc[pt_ids], frame.desc, candidate, kp_free, gate_mask=gate, max_dist=50.0, ratio=0.8
     )
@@ -579,9 +579,15 @@ class Tracker:
             if n_in < cfg.tracking.min_track_ref:
                 self.state = self.LOST
                 return
+        # NOTE: the reference widens this window 3x for RGBD (SearchLocalPoints
+        # th=3, Tracking.cc:1507-1509); with this matcher a wider window lets
+        # ambiguous neighbours through the ratio test and measured WORSE on
+        # dense scenes (0.16 -> 0.72 ATE), so the base radius is kept for all
+        # sensors and exposed as a config knob instead.
         T_opt, kp_pt, n_in, self.map = track_local_map(
             self.map, frame, kp_pt, T_opt, self.ref_kf, self.cam,
             n_local=cfg.caps.local_ba_points,
+            radius=cfg.tracking.search_radius_localmap,
         )
         n_in = int(n_in)
         self.n_inliers = n_in
