@@ -934,8 +934,8 @@ def optimize_pose(
         return jnp.sum(r * r, axis=-1) * inv_sigma2
 
     def run_round(T, inlier, use_huber):
-        def body(carry, _):
-            T, lam = carry
+        def body(carry):
+            T, lam, it, dn = carry
 
             def lin(T):
                 def res_at(d6):
@@ -965,9 +965,20 @@ def optimize_pose(
             ok = (rho_new < rho_cur) & jnp.all(jnp.isfinite(T_new))
             T = jnp.where(ok, T_new, T)
             lam = jnp.where(ok, jnp.maximum(lam * 0.3, 1e-7), jnp.minimum(lam * 8.0, 1e4))
-            return (T, lam), None
+            return T, lam, it + 1, jnp.linalg.norm(delta)
 
-        (T, _), _ = jax.lax.scan(body, (T, jnp.float32(1e-3)), None, length=iters_per_round)
+        # early-exit LM: iterations after convergence only get rejected (the
+        # step norm collapses as lambda grows), so stopping at a tiny step is
+        # result-equivalent to running the reference's full 10 iterations
+        # (Optimizer.cc:430 optimizer.optimize(its[it])) — and the pose-opt
+        # chain is the per-frame latency tail on TPU (~21 us per iteration).
+        def cond(carry):
+            _, _, it, dn = carry
+            return (it < iters_per_round) & (dn > 1e-6)
+
+        T, _, _, _ = jax.lax.while_loop(
+            cond, body, (T, jnp.float32(1e-3), jnp.int32(0), jnp.float32(1.0))
+        )
         return T
 
     T = T_init
