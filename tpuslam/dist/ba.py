@@ -32,6 +32,8 @@ from jax import shard_map
 
 from ..graph import lm
 from ..graph.schur import schur_solve
+from ..backend.posegraph import Sim3Edges
+from ..core import geometry as geo
 
 
 def _shard_factors_spec():
@@ -134,3 +136,95 @@ def distributed_lm_iterations(mesh: Mesh, state: lm.BAState, data: lm.BAData, w:
         return state, chi2s
 
     return jax.jit(run)(state, data)
+
+
+def pad_edges_for_mesh(edges: Sim3Edges, n_devices: int) -> Sim3Edges:
+    """Pad the edge bundle's leading axis to a multiple of n_devices."""
+    n = edges.i.shape[0]
+    target = -(-n // n_devices) * n_devices
+    if target == n:
+        return edges
+    pad = target - n
+
+    def pad_arr(a):
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths)
+
+    return Sim3Edges(*[pad_arr(a) for a in edges])
+
+
+def distributed_essential_graph(mesh: Mesh, S, fixed, edges: Sim3Edges, n_iters: int = 20, lam: float = 1e-6):
+    """Edge-sharded Sim3 pose-graph optimization — the multi-chip analogue of
+    Optimizer::OptimizeEssentialGraph (Optimizer.cc:789-1052).
+
+    Each device linearizes its edge shard and scatter-adds partial (7K x 7K)
+    normal equations; one ``psum`` per GN iteration combines them, and the
+    small dense solve is replicated.  Pad ``edges`` with
+    :func:`pad_edges_for_mesh` first.  Returns (S_opt, cost history).
+    """
+    K = S.shape[0]
+    D = 7 * K
+    free = jnp.repeat((~fixed).astype(jnp.float32), 7, total_repeat_length=D)
+
+    edges_spec = Sim3Edges(*([P("dp")] * 5))
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), edges_spec),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(S, e):
+        def lin_edge(Si, Sj, M):
+            def res(d):
+                r = geo.sim3_log(
+                    M @ (geo.sim3_exp(d[:7]) @ Si) @ geo.sim3_inv(geo.sim3_exp(d[7:]) @ Sj)
+                )
+                return r
+
+            z = jnp.zeros(14)
+            r = res(z)
+            J = jax.jacfwd(res)(z)
+            return r, J[:, :7], J[:, 7:]
+
+        def body(S, _):
+            r, Ji, Jj = jax.vmap(lin_edge)(S[e.i], S[e.j], e.meas)
+            w = e.weight * e.valid
+            r = jnp.where(e.valid[:, None], r, 0.0)
+            Ji = jnp.where(e.valid[:, None, None], Ji, 0.0)
+            Jj = jnp.where(e.valid[:, None, None], Jj, 0.0)
+            H = jnp.zeros((D, D))
+            b = jnp.zeros((D,))
+            rows = lambda idx: 7 * idx[:, None, None] + jnp.arange(7)[None, :, None]
+            cols = lambda idx: 7 * idx[:, None, None] + jnp.arange(7)[None, None, :]
+            JiW = Ji * w[:, None, None]
+            JjW = Jj * w[:, None, None]
+            H = H.at[rows(e.i), cols(e.i)].add(jnp.einsum("fdi,fdj->fij", JiW, Ji))
+            H = H.at[rows(e.j), cols(e.j)].add(jnp.einsum("fdi,fdj->fij", JjW, Jj))
+            Hij = jnp.einsum("fdi,fdj->fij", JiW, Jj)
+            H = H.at[rows(e.i), cols(e.j)].add(Hij)
+            H = H.at[rows(e.j), cols(e.i)].add(jnp.swapaxes(Hij, -1, -2))
+            b = b.at[(7 * e.i[:, None] + jnp.arange(7)[None, :])].add(
+                -jnp.einsum("fdi,fd->fi", JiW, r)
+            )
+            b = b.at[(7 * e.j[:, None] + jnp.arange(7)[None, :])].add(
+                -jnp.einsum("fdi,fd->fi", JjW, r)
+            )
+            cost_part = jnp.sum(r * r * w[:, None])
+            # ONE collective round per GN iteration
+            H = jax.lax.psum(H, "dp")
+            b = jax.lax.psum(b, "dp")
+            cost = jax.lax.psum(cost_part, "dp")
+            mask2 = free[:, None] * free[None, :]
+            H = H * mask2 + jnp.diag(1.0 - free)
+            b = b * free
+            H = H + (lam + 1e-6) * jnp.eye(D)
+            delta = jnp.linalg.solve(H, b) * free
+            S_new = jax.vmap(lambda dd, s: geo.sim3_exp(dd) @ s)(delta.reshape(K, 7), S)
+            return S_new, cost
+
+        S, costs = jax.lax.scan(body, S, None, length=n_iters)
+        return S, costs
+
+    return jax.jit(run)(S, edges)
