@@ -89,19 +89,33 @@ def main(argv=None):
     frame_times = []
     import time
 
+    n_fields = {"mono": 2, "rgbd": 3, "stereo": 3}[args.sensor]
     for line in sys.stdin:
         line = line.strip()
         if not line:
             break
         parts = line.split()
+        if len(parts) != n_fields:
+            print(
+                json.dumps(
+                    {
+                        "error": f"{args.sensor} frames need {n_fields} fields "
+                        f"(<frame_id> <path>{' <path2>' if n_fields == 3 else ''}), got {len(parts)}",
+                        "line": line,
+                    }
+                ),
+                flush=True,
+            )
+            continue
         fid = int(parts[0])
         t0 = time.perf_counter()
         with prof.section("time single frame"):
             if args.sensor == "stereo":
                 tracker.process_stereo_pair(_read_gray(parts[1]), _read_gray(parts[2]), fid)
             elif args.sensor == "rgbd":
-                depth = _read_depth(parts[2], args.depth_factor) if len(parts) > 2 else None
-                tracker.process_image(_read_gray(parts[1]), fid, depth=depth)
+                tracker.process_image(
+                    _read_gray(parts[1]), fid, depth=_read_depth(parts[2], args.depth_factor)
+                )
             else:
                 tracker.process_image(_read_gray(parts[1]), fid)
         frame_times.append(time.perf_counter() - t0)

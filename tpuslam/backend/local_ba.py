@@ -293,10 +293,14 @@ def pack_local_ba(
     )
 
 
-@jax.jit
-def unpack_local_ba(m: ms.MapState, pack: LocalBAPack, state_opt: lm.BAState, data_out: lm.BAData):
+@functools.partial(jax.jit, static_argnames=("stereo_shared",))
+def unpack_local_ba(m: ms.MapState, pack: LocalBAPack, state_opt: lm.BAState, data_out: lm.BAData, stereo_shared: bool = False):
     """Scatter optimized poses/points back into the map; unlink observations
-    that were gated as outliers during BA (Optimizer.cc:744-760)."""
+    that were gated as outliers during BA (Optimizer.cc:744-760).
+
+    ``stereo_shared``: the packer built a stereo bundle with the same
+    (window kf, keypoint) flattening as the mono bundle, so its outliers
+    unlink through the same index map."""
     K, N = m.kf_pt.shape
     P = m.pt_pos.shape[0]
     W = pack.window_ids.shape[0]
@@ -314,8 +318,7 @@ def unpack_local_ba(m: ms.MapState, pack: LocalBAPack, state_opt: lm.BAState, da
     # out during the solve, clear kf_pt at (kf, kp)
     mono_in, mono_packed = data_out.mono.valid, pack.data.mono.valid
     outlier = mono_packed & ~mono_in
-    if data_out.stereo.valid.shape[0] == mono_in.shape[0]:
-        # stereo bundle shares the (window kf, keypoint) flattening
+    if stereo_shared:
         outlier = outlier | (pack.data.stereo.valid & ~data_out.stereo.valid)
     kf_local = jnp.repeat(jnp.arange(W, dtype=jnp.int32), N)
     kf_global = pack.window_ids[kf_local]
@@ -416,7 +419,9 @@ def run_global_ba(m: ms.MapState, cam, cfg, n_iters: int = 10):
     )
     w = lm.BAWeights.from_config(cfg.ba)
     state_opt, chi2s = _jitted_lm_iterations(pack.state, pack.data, w, n_iters)
-    m = unpack_local_ba(m, pack, state_opt, pack.data)
+    m = unpack_local_ba(
+        m, pack, state_opt, pack.data, stereo_shared=cfg.sensor in ("rgbd", "stereo")
+    )
     return m, chi2s
 
 
@@ -457,5 +462,7 @@ def run_local_ba(m: ms.MapState, center_kf: int, cam, cfg):
         phase1_iters=cfg.ba.local_ba_iters_phase1,
         phase2_iters=cfg.ba.local_ba_iters_phase2,
     )
-    m = unpack_local_ba(m, pack, state_opt, data_out)
+    m = unpack_local_ba(
+        m, pack, state_opt, data_out, stereo_shared=cfg.sensor in ("rgbd", "stereo")
+    )
     return m, chi2s

@@ -32,15 +32,12 @@ def edge_residual(S_i, S_j, M_ji):
     return geo.sim3_log(M_ji @ S_i @ geo.sim3_inv(S_j))
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters",))
-def optimize_essential_graph(S, fixed, edges: Sim3Edges, n_iters: int = 20, lam: float = 1e-6):
-    """GN over Sim3 vertices.  ``S``: (K, 4, 4) sim3 world->camera;
-    ``fixed``: (K,) bool (the loop KF is fixed, Optimizer.cc:828-842).
+def assemble_sim3_system(S, edges: Sim3Edges, D: int):
+    """Linearize one edge bundle and scatter-add its (D, D) normal-equation
+    contribution.  Shared by the single-device optimizer below and the
+    edge-sharded distributed one (dist/ba.py — it psums these outputs).
 
-    Returns optimized (K, 4, 4) sim3 poses.
-    """
-    K = S.shape[0]
-    D = 7 * K
+    Returns (H, b, cost)."""
 
     def lin_edge(Si, Sj, M):
         def res(d):
@@ -52,44 +49,62 @@ def optimize_essential_graph(S, fixed, edges: Sim3Edges, n_iters: int = 20, lam:
         J = jax.jacfwd(res)(z)
         return r, J[:, :7], J[:, 7:]
 
+    r, Ji, Jj = jax.vmap(lin_edge)(S[edges.i], S[edges.j], edges.meas)
+    w = edges.weight * edges.valid
+    r = jnp.where(edges.valid[:, None], r, 0.0)
+    Ji = jnp.where(edges.valid[:, None, None], Ji, 0.0)
+    Jj = jnp.where(edges.valid[:, None, None], Jj, 0.0)
+    H = jnp.zeros((D, D))
+    b = jnp.zeros((D,))
+
+    def rows(idx):
+        return 7 * idx[:, None, None] + jnp.arange(7)[None, :, None]
+
+    def cols(idx):
+        return 7 * idx[:, None, None] + jnp.arange(7)[None, None, :]
+
+    JiW = Ji * w[:, None, None]
+    JjW = Jj * w[:, None, None]
+    H = H.at[rows(edges.i), cols(edges.i)].add(jnp.einsum("fdi,fdj->fij", JiW, Ji))
+    H = H.at[rows(edges.j), cols(edges.j)].add(jnp.einsum("fdi,fdj->fij", JjW, Jj))
+    Hij = jnp.einsum("fdi,fdj->fij", JiW, Jj)
+    H = H.at[rows(edges.i), cols(edges.j)].add(Hij)
+    H = H.at[rows(edges.j), cols(edges.i)].add(jnp.swapaxes(Hij, -1, -2))
+    b = b.at[(7 * edges.i[:, None] + jnp.arange(7)[None, :])].add(
+        -jnp.einsum("fdi,fd->fi", JiW, r)
+    )
+    b = b.at[(7 * edges.j[:, None] + jnp.arange(7)[None, :])].add(
+        -jnp.einsum("fdi,fd->fi", JjW, r)
+    )
+    return H, b, jnp.sum(r * r * w[:, None])
+
+
+def solve_sim3_step(S, H, b, free, lam: float):
+    """Gauge-mask, damp, solve, retract — shared with the distributed path."""
+    K = S.shape[0]
+    D = 7 * K
+    mask2 = free[:, None] * free[None, :]
+    H = H * mask2 + jnp.diag(1.0 - free)
+    b = b * free
+    H = H + (lam + 1e-6) * jnp.eye(D)
+    delta = jnp.linalg.solve(H, b) * free
+    return jax.vmap(lambda dd, s: geo.sim3_exp(dd) @ s)(delta.reshape(K, 7), S)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def optimize_essential_graph(S, fixed, edges: Sim3Edges, n_iters: int = 20, lam: float = 1e-6):
+    """GN over Sim3 vertices.  ``S``: (K, 4, 4) sim3 world->camera;
+    ``fixed``: (K,) bool (the loop KF is fixed, Optimizer.cc:828-842).
+
+    Returns optimized (K, 4, 4) sim3 poses.
+    """
+    K = S.shape[0]
+    D = 7 * K
     free = jnp.repeat((~fixed).astype(jnp.float32), 7, total_repeat_length=D)
 
     def body(S, _):
-        r, Ji, Jj = jax.vmap(lin_edge)(S[edges.i], S[edges.j], edges.meas)
-        w = edges.weight * edges.valid
-        r = jnp.where(edges.valid[:, None], r, 0.0)
-        Ji = jnp.where(edges.valid[:, None, None], Ji, 0.0)
-        Jj = jnp.where(edges.valid[:, None, None], Jj, 0.0)
-        H = jnp.zeros((D, D))
-        b = jnp.zeros((D,))
-
-        def rows(idx):
-            return 7 * idx[:, None, None] + jnp.arange(7)[None, :, None]
-
-        def cols(idx):
-            return 7 * idx[:, None, None] + jnp.arange(7)[None, None, :]
-
-        JiW = Ji * w[:, None, None]
-        JjW = Jj * w[:, None, None]
-        H = H.at[rows(edges.i), cols(edges.i)].add(jnp.einsum("fdi,fdj->fij", JiW, Ji))
-        H = H.at[rows(edges.j), cols(edges.j)].add(jnp.einsum("fdi,fdj->fij", JjW, Jj))
-        Hij = jnp.einsum("fdi,fdj->fij", JiW, Jj)
-        H = H.at[rows(edges.i), cols(edges.j)].add(Hij)
-        H = H.at[rows(edges.j), cols(edges.i)].add(jnp.swapaxes(Hij, -1, -2))
-        b = b.at[(7 * edges.i[:, None] + jnp.arange(7)[None, :])].add(
-            -jnp.einsum("fdi,fd->fi", JiW, r)
-        )
-        b = b.at[(7 * edges.j[:, None] + jnp.arange(7)[None, :])].add(
-            -jnp.einsum("fdi,fd->fi", JjW, r)
-        )
-        mask2 = free[:, None] * free[None, :]
-        H = H * mask2 + jnp.diag(1.0 - free)
-        b = b * free
-        H = H + lam * jnp.eye(D) + 1e-6 * jnp.eye(D)
-        delta = jnp.linalg.solve(H, b) * free
-        d = delta.reshape(K, 7)
-        S_new = jax.vmap(lambda dd, s: geo.sim3_exp(dd) @ s)(d, S)
-        return S_new, jnp.sum(r * r * w[:, None])
+        H, b, cost = assemble_sim3_system(S, edges, D)
+        return solve_sim3_step(S, H, b, free, lam), cost
 
     S, costs = jax.lax.scan(body, S, None, length=n_iters)
     return S, costs

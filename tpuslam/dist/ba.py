@@ -32,8 +32,7 @@ from jax import shard_map
 
 from ..graph import lm
 from ..graph.schur import schur_solve
-from ..backend.posegraph import Sim3Edges
-from ..core import geometry as geo
+from ..backend.posegraph import Sim3Edges, assemble_sim3_system, solve_sim3_step
 
 
 def _shard_factors_spec():
@@ -176,53 +175,14 @@ def distributed_essential_graph(mesh: Mesh, S, fixed, edges: Sim3Edges, n_iters:
         check_vma=False,
     )
     def run(S, e):
-        def lin_edge(Si, Sj, M):
-            def res(d):
-                r = geo.sim3_log(
-                    M @ (geo.sim3_exp(d[:7]) @ Si) @ geo.sim3_inv(geo.sim3_exp(d[7:]) @ Sj)
-                )
-                return r
-
-            z = jnp.zeros(14)
-            r = res(z)
-            J = jax.jacfwd(res)(z)
-            return r, J[:, :7], J[:, 7:]
-
         def body(S, _):
-            r, Ji, Jj = jax.vmap(lin_edge)(S[e.i], S[e.j], e.meas)
-            w = e.weight * e.valid
-            r = jnp.where(e.valid[:, None], r, 0.0)
-            Ji = jnp.where(e.valid[:, None, None], Ji, 0.0)
-            Jj = jnp.where(e.valid[:, None, None], Jj, 0.0)
-            H = jnp.zeros((D, D))
-            b = jnp.zeros((D,))
-            rows = lambda idx: 7 * idx[:, None, None] + jnp.arange(7)[None, :, None]
-            cols = lambda idx: 7 * idx[:, None, None] + jnp.arange(7)[None, None, :]
-            JiW = Ji * w[:, None, None]
-            JjW = Jj * w[:, None, None]
-            H = H.at[rows(e.i), cols(e.i)].add(jnp.einsum("fdi,fdj->fij", JiW, Ji))
-            H = H.at[rows(e.j), cols(e.j)].add(jnp.einsum("fdi,fdj->fij", JjW, Jj))
-            Hij = jnp.einsum("fdi,fdj->fij", JiW, Jj)
-            H = H.at[rows(e.i), cols(e.j)].add(Hij)
-            H = H.at[rows(e.j), cols(e.i)].add(jnp.swapaxes(Hij, -1, -2))
-            b = b.at[(7 * e.i[:, None] + jnp.arange(7)[None, :])].add(
-                -jnp.einsum("fdi,fd->fi", JiW, r)
-            )
-            b = b.at[(7 * e.j[:, None] + jnp.arange(7)[None, :])].add(
-                -jnp.einsum("fdi,fd->fi", JjW, r)
-            )
-            cost_part = jnp.sum(r * r * w[:, None])
-            # ONE collective round per GN iteration
+            # shared assembly (backend/posegraph.py) on this device's shard,
+            # then ONE collective round per GN iteration
+            H, b, cost_part = assemble_sim3_system(S, e, D)
             H = jax.lax.psum(H, "dp")
             b = jax.lax.psum(b, "dp")
             cost = jax.lax.psum(cost_part, "dp")
-            mask2 = free[:, None] * free[None, :]
-            H = H * mask2 + jnp.diag(1.0 - free)
-            b = b * free
-            H = H + (lam + 1e-6) * jnp.eye(D)
-            delta = jnp.linalg.solve(H, b) * free
-            S_new = jax.vmap(lambda dd, s: geo.sim3_exp(dd) @ s)(delta.reshape(K, 7), S)
-            return S_new, cost
+            return solve_sim3_step(S, H, b, free, lam), cost
 
         S, costs = jax.lax.scan(body, S, None, length=n_iters)
         return S, costs

@@ -210,7 +210,7 @@ def track_local_map(m: ms.MapState, frame: Frame, kp_pt, T_init, ref_kf, cam: Ca
 
 
 @jax.jit
-def match_motion_model_vo(m: ms.MapState, last_frame: Frame, T_last, frame: Frame, T_pred, cam: Camera, radius):
+def match_motion_model_vo(last_frame: Frame, T_last, frame: Frame, T_pred, cam: Camera, radius):
     """Visual-odometry fallback for localization-only mode: match the current
     frame against the LAST FRAME's keypoints, backprojecting those with a
     depth measurement — the reference's temporal points from UpdateLastFrame
@@ -389,12 +389,9 @@ class Tracker:
         (KeyFrame::ComputeBoW in ProcessNewKeyFrame, LocalMapping.cc:161-205)."""
         if self.loop_closer is None:
             return
-        from ..place import vocab as vb
+        from ..place.vocab import update_kf_bow
 
-        bow = vb.bow_vector(
-            self.loop_closer.vocab, self.map.kf_desc[kf_slot], self.map.kf_kp_valid[kf_slot]
-        )
-        self.map = self.map._replace(kf_bow=self.map.kf_bow.at[kf_slot].set(bow))
+        self.map, _ = update_kf_bow(self.loop_closer.vocab, self.map, kf_slot)
 
     # -- initialization -------------------------------------------------------
 
@@ -561,7 +558,7 @@ class Tracker:
                 # visual-odometry fallback against the last frame's depth
                 # (mbOnlyTracking temporal points, Tracking.cc:1045-1097)
                 T_vo, n_vo = match_motion_model_vo(
-                    self.map, self.last_frame, self.T_cur, frame, T_pred,
+                    self.last_frame, self.T_cur, frame, T_pred,
                     self.cam, cfg.tracking.search_radius_motion,
                 )
                 if int(n_vo) >= cfg.tracking.min_track_motion:
@@ -634,7 +631,10 @@ class Tracker:
         self.state = self.OK
 
     def _reset(self):
-        """System::Reset analogue (Tracking.cc:1826-1872)."""
+        """System::Reset analogue (Tracking.cc:1826-1872).  The reference
+        clears the relative-pose trajectory lists too — a re-initialized map
+        lives in a NEW coordinate frame, so keeping pre-reset poses would mix
+        two unrelated frames in one trajectory."""
         self.map = ms.empty_map(self.cfg.caps)
         self.state = self.NOT_INITIALIZED
         self.n_kf = 0
@@ -644,6 +644,7 @@ class Tracker:
         self.velocity = jnp.eye(4)
         self.init_frame = None
         self.ref_kf = 0
+        self.trajectory = []
         if self.loop_closer is not None:
             self.loop_closer.consistency = {}
             self.loop_closer.last_loop_kf = -1000
@@ -662,9 +663,7 @@ class Tracker:
         # tracked points of the reference KF with >= nMinObs observers
         # (KeyFrame::TrackedMapPoints(nMinObs), Tracking.cc:1227-1230)
         min_obs = 2 if self.n_kf <= 2 else 3
-        obs_count = jnp.sum(
-            (self.map.kf_pt >= 0) & self.map.kf_kp_valid & self.map.kf_valid[:, None], axis=0
-        )
+        obs_count = ms.point_obs_counts(self.map)  # (P,) observers per point
         ref_pt = self.map.kf_pt[self.ref_kf]
         ref_ok = (ref_pt >= 0) & self.map.kf_kp_valid[self.ref_kf]
         n_ref = int(jnp.sum(ref_ok & (obs_count[jnp.clip(ref_pt, 0)] >= min_obs)))

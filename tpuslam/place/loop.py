@@ -53,8 +53,7 @@ class LoopCloser:
     def on_keyframe(self, m: ms.MapState, kf_slot: int, n_kf: int):
         """Returns (map, loop_closed: bool)."""
         cfg = self.cfg
-        bow = vb.bow_vector(self.vocab, m.kf_desc[kf_slot], m.kf_kp_valid[kf_slot])
-        m = m._replace(kf_bow=m.kf_bow.at[kf_slot].set(bow))
+        m, bow = vb.update_kf_bow(self.vocab, m, kf_slot)
         if n_kf < 10 or kf_slot - self.last_loop_kf < 10:
             return m, False
 

@@ -79,6 +79,15 @@ def bow_vector(vocab: Vocabulary, desc_u32, valid):
     return hist / n
 
 
+def update_kf_bow(vocab: Vocabulary, m, kf_slot):
+    """Store keyframe ``kf_slot``'s BoW vector in the map
+    (KeyFrame::ComputeBoW) — the ONE place BoW vectors are written, used by
+    both the loop closer and initialization-created keyframes.  Returns
+    (map, bow)."""
+    bow = bow_vector(vocab, m.kf_desc[kf_slot], m.kf_kp_valid[kf_slot])
+    return m._replace(kf_bow=m.kf_bow.at[kf_slot].set(bow)), bow
+
+
 @jax.jit
 def bow_scores(query_bow, db_bows, db_valid):
     """Similarity of a query BoW against a (K, W) database: dot product."""
