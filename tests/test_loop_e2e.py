@@ -125,11 +125,20 @@ def build():
     return cam, cfg, m, vocab, np.asarray(poses[0]), T11, S_drift
 
 
+def _seeded_closer(cam, cfg, vocab, m):
+    lc = LoopCloser(vocab, cam, cfg)
+    # two prior consistent sightings of candidate 0's covisibility group
+    g0 = np.zeros(m.kf_valid.shape[0], bool)
+    g0[:11] = True  # kf0's group: itself + its covisible neighbours
+    lc.prev_groups = [(g0, 2)]
+    return lc
+
+
 def test_loop_closes_drifted_revisit():
     cam, cfg, m, vocab, T0, T11, S_drift = build()
-    lc = LoopCloser(vocab, cam, cfg)
-    lc.consistency = {0: 2}  # two prior consistent sightings of candidate 0
+    lc = _seeded_closer(cam, cfg, vocab, m)
     drift_before = float(np.linalg.norm((np.asarray(m.kf_pose[11]) - T0)[:3, 3]))
+    pts_before = int(np.asarray(m.pt_valid).sum())
     m2, closed = lc.on_keyframe(m, 11, 12)
     print("loop closed:", closed)
     assert closed, "loop closure did not fire"
@@ -137,3 +146,71 @@ def test_loop_closes_drifted_revisit():
     drift_after = float(np.linalg.norm((T11_new - T0)[:3, 3]))
     print(f"pose-11 offset from kf0: before {drift_before:.3f} after {drift_after:.3f}")
     assert drift_after < 0.5 * drift_before, "loop correction did not reduce drift"
+    # duplicate landmarks at the weld must actually MERGE (SearchAndFuse +
+    # MapPoint::Replace): the valid point count drops (VERDICT r2 item 2)
+    pts_after = int(np.asarray(m2.pt_valid).sum())
+    print(f"valid points: before {pts_before} after {pts_after}")
+    assert pts_after <= pts_before - 30, "duplicate landmarks were not merged"
+    # merged observations: kf11's keypoints should now link to the ORIGINAL
+    # point ids (0..99, which have 11 observers) instead of the duplicates
+    kf11_pt = np.asarray(m2.kf_pt[11])[:NPT]
+    assert (kf11_pt[kf11_pt >= 0] < NPT).sum() >= 30
+
+
+def test_guided_match_gate_rejects_borderline_candidate():
+    """A candidate with enough Sim3 inliers (>= 20) but too few total guided
+    matches (< 40) must be rejected (LoopClosing.cc:375-391) — the gate that
+    keeps false loops from welding the map (VERDICT r2 item 2a)."""
+    cam, cfg, m, vocab, T0, T11, S_drift = build()
+    rng = np.random.RandomState(17)
+    # keep only 25 shared descriptors between the loop side (points 0..99 +
+    # kf 0..10 rows) and the revisit (kf 11 + duplicate points): Sim3 still
+    # sees >= 20 matches, but the guided projection cannot reach 40 total
+    n_shared = 25
+    scramble = rng.randint(0, 1 << 32, (NPT - n_shared, 8), dtype=np.uint64).astype(np.uint32)
+    pt_desc = np.array(m.pt_desc)
+    pt_desc[100 + n_shared : 100 + NPT] = scramble
+    kd = np.array(m.kf_desc)
+    kd[11, n_shared:NPT] = scramble
+    m = m._replace(pt_desc=jnp.asarray(pt_desc), kf_desc=jnp.asarray(kd))
+    # refresh kf11's BoW for the scrambled descriptors
+    bow = vb.bow_vector(vocab, m.kf_desc[11], m.kf_kp_valid[11])
+    m = m._replace(kf_bow=m.kf_bow.at[11].set(bow))
+
+    lc = _seeded_closer(cam, cfg, vocab, m)
+    pose_before = np.asarray(m.kf_pose[11]).copy()
+    m2, closed = lc.on_keyframe(m, 11, 12)
+    assert not closed, "borderline candidate below the 40-match gate was accepted"
+    np.testing.assert_allclose(np.asarray(m2.kf_pose[11]), pose_before)
+
+
+def test_group_consistency_accepts_covisible_prior_group():
+    """Consistency must be COVISIBILITY-group based (LoopClosing.cc:152-211):
+    a prior group containing only kf 5 — far from candidate 0 in keyframe-id
+    space (the r2 proxy |k - c| <= 3 would reject it) but inside candidate
+    0's covisibility group — must continue the streak."""
+    cam, cfg, m, vocab, T0, T11, S_drift = build()
+    lc = LoopCloser(vocab, cam, cfg)
+    g = np.zeros(m.kf_valid.shape[0], bool)
+    g[5] = True  # only kf5: covisible with kf0 (shared points), id-distance 5
+    lc.prev_groups = [(g, 2)]
+    m2, closed = lc.on_keyframe(m, 11, 12)
+    assert closed, "covisibility-group consistency did not continue the streak"
+
+
+def test_group_consistency_hard_negative_single_sighting():
+    """A perceptually aliased candidate (identical descriptors, perfect BoW
+    score) seen for the FIRST time must not close a loop: the 3-consecutive-
+    group rule requires repeated consistent detections."""
+    cam, cfg, m, vocab, T0, T11, S_drift = build()
+    lc = LoopCloser(vocab, cam, cfg)  # no prior groups
+    m2, closed = lc.on_keyframe(m, 11, 12)
+    assert not closed
+    # and a prior group that does NOT intersect the candidate's group
+    # (only invalid keyframe slots) must not continue the streak either
+    lc2 = LoopCloser(vocab, cam, cfg)
+    g = np.zeros(m.kf_valid.shape[0], bool)
+    g[14] = True  # empty/invalid slot: no covisibility with anything
+    lc2.prev_groups = [(g, 2)]
+    m3, closed2 = lc2.on_keyframe(m, 11, 12)
+    assert not closed2

@@ -107,7 +107,14 @@ def main(argv=None):
                 flush=True,
             )
             continue
-        fid = int(parts[0])
+        try:
+            fid = int(parts[0])
+        except ValueError:
+            print(
+                json.dumps({"error": f"frame id must be an integer, got {parts[0]!r}", "line": line}),
+                flush=True,
+            )
+            continue
         t0 = time.perf_counter()
         with prof.section("time single frame"):
             if args.sensor == "stereo":
@@ -139,7 +146,9 @@ def main(argv=None):
         )
 
     finish(tracker, args, frame_times, metric=args.sensor != "mono")
-    prof.print_aggregated()
+    # stdout carries the machine-readable per-frame JSON; human-readable
+    # profiler output goes to stderr
+    prof.print_aggregated(file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -348,15 +348,20 @@ def unpack_local_ba(m: ms.MapState, pack: LocalBAPack, state_opt: lm.BAState, da
 
 @functools.partial(jax.jit, static_argnames=("n_kfs", "n_pts", "use_stereo"))
 def pack_global_ba(m: ms.MapState, cam, n_kfs: int = 64, n_pts: int = 8192, use_stereo: bool = False):
-    """All-keyframes, all-points BA problem (GlobalBundleAdjustemnt,
-    Optimizer.cc:46-54: every KF except id 0 free, every point free)."""
+    """All-keyframes BA problem (GlobalBundleAdjustemnt, Optimizer.cc:46-54:
+    every KF except id 0 free).  Points are selected best-observed-first so
+    that when the point budget truncates, the best-constrained landmarks
+    anchor the solve; the remainder is re-anchored through its reference
+    keyframe afterwards (run_global_ba), mirroring the reference's
+    spanning-tree point propagation (LoopClosing.cc:676-737)."""
     K, N = m.kf_pt.shape
     P = m.pt_pos.shape[0]
     window_ids = jnp.arange(n_kfs, dtype=jnp.int32)
     window_mask = m.kf_valid[:n_kfs]
     pose_fixed = (window_ids == 0) | ~window_mask
 
-    sel_val, point_ids = jax.lax.top_k(m.pt_valid[:].astype(jnp.float32), n_pts)
+    obs_rank = jnp.where(m.pt_valid, ms.point_obs_counts(m).astype(jnp.float32), -1.0)
+    sel_val, point_ids = jax.lax.top_k(obs_rank, n_pts)
     point_mask = sel_val > 0
     inv_map = jnp.full((P + 1,), -1, jnp.int32).at[
         jnp.where(point_mask, point_ids, P)
@@ -409,12 +414,61 @@ def pack_global_ba(m: ms.MapState, cam, n_kfs: int = 64, n_pts: int = 8192, use_
     )
 
 
-def run_global_ba(m: ms.MapState, cam, cfg, n_iters: int = 10):
+def _ba_bucket(n_needed: int, base: int, cap: int) -> int:
+    """Smallest power-of-two multiple of ``base`` that covers ``n_needed``
+    (bucketed static shapes: one XLA recompilation per bucket)."""
+    b = base
+    while b < n_needed and b < cap:
+        b *= 2
+    return min(b, cap)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _reanchor_points(m: ms.MapState, poses_old, skip_mask):
+    """Move points NOT optimized by global BA through their reference
+    keyframe's pose correction: X' = T_new^-1 (T_old X) — the SE3 analogue of
+    the reference's post-GBA point propagation (LoopClosing.cc:709-736,
+    mpRefKF-relative re-anchoring)."""
+    K = m.kf_pose.shape[0]
+    ref = jnp.clip(m.pt_first_kf, 0, K - 1)
+    X_cam = jax.vmap(lambda T, x: T[:3, :3] @ x + T[:3, 3])(poses_old[ref], m.pt_pos)
+    T_new = m.kf_pose[ref]
+    X_new = jax.vmap(
+        lambda T, x: T[:3, :3].T @ (x - T[:3, 3])
+    )(T_new, X_cam)
+    move = m.pt_valid & ~skip_mask & m.kf_valid[ref]
+    return m._replace(pt_pos=jnp.where(move[:, None], X_new, m.pt_pos))
+
+
+def run_global_ba(m: ms.MapState, cam, cfg, n_iters: int = 10, n_kf: int = 0):
     """Full-map BA after a loop closure (RunGlobalBundleAdjustment,
-    LoopClosing.cc:645-749 — synchronous here, on the functional snapshot)."""
+    LoopClosing.cc:645-749 — synchronous here, on the functional snapshot).
+
+    Covers EVERY keyframe slot and EVERY valid point, like the reference:
+    the KF window is bucketed up from ``caps.global_ba_keyframes``
+    (64 -> 128 -> ... -> max_keyframes) to the actual slot count, and the
+    point set likewise up to ``caps.max_points``, so late loop closures
+    refine the whole trajectory.  Should the point budget ever truncate
+    (misconfigured caps), it is logged and the remainder is re-anchored
+    through its reference keyframe — dropping observations instead would
+    un-constrain their keyframes and measurably DEGRADE the solve."""
+    import logging
+
     caps = cfg.caps
+    if n_kf <= 0:
+        kf_valid_np = jax.device_get(m.kf_valid)
+        n_kf = int(kf_valid_np.nonzero()[0].max()) + 1 if kf_valid_np.any() else 0
+    n_kfs = _ba_bucket(n_kf, caps.global_ba_keyframes, caps.max_keyframes)
+    n_valid_pts = int(jax.device_get(jnp.sum(m.pt_valid)))
+    n_pts = _ba_bucket(n_valid_pts, caps.global_ba_points, m.pt_pos.shape[0])
+    if n_valid_pts > n_pts:
+        logging.getLogger("tpuslam").warning(
+            "global BA truncating points: %d valid > %d budget; the rest is "
+            "re-anchored through reference keyframes", n_valid_pts, n_pts,
+        )
+    poses_old = m.kf_pose
     pack = pack_global_ba(
-        m, cam, n_kfs=caps.global_ba_keyframes, n_pts=caps.global_ba_points,
+        m, cam, n_kfs=n_kfs, n_pts=n_pts,
         use_stereo=cfg.sensor in ("rgbd", "stereo"),
     )
     w = lm.BAWeights.from_config(cfg.ba)
@@ -422,6 +476,12 @@ def run_global_ba(m: ms.MapState, cam, cfg, n_iters: int = 10):
     m = unpack_local_ba(
         m, pack, state_opt, pack.data, stereo_shared=cfg.sensor in ("rgbd", "stereo")
     )
+    # points outside the optimized set follow their reference keyframe
+    P = m.pt_pos.shape[0]
+    in_opt = jnp.zeros((P + 1,), bool).at[
+        jnp.where(pack.point_mask, pack.point_ids, P)
+    ].set(True)[:P]
+    m = _reanchor_points(m, poses_old, in_opt)
     return m, chi2s
 
 

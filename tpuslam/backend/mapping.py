@@ -116,26 +116,71 @@ def create_new_map_points(
     return TriangulationResult(pos=pts, kp1=jnp.arange(N, dtype=jnp.int32), kp2=idx, ok=good)
 
 
-@jax.jit
-def fuse_duplicates(m: ms.MapState, kf, K):
-    """Project map points into ``kf`` and bind/replace matching keypoints
-    (ORBmatcher::Fuse semantics, ORBmatcher.cc:825-975, light version).
+@functools.partial(jax.jit, static_argnames=("radius",))
+def fuse_into_keyframe(m: ms.MapState, kf, K, src_mask=None, radius: float = 3.0):
+    """Project the map points selected by ``src_mask`` into keyframe ``kf``
+    and fuse with its keypoints — full ORBmatcher::Fuse semantics
+    (ORBmatcher.cc:825-975):
 
-    Any unbound keypoint of ``kf`` whose descriptor matches a visible map
-    point within a 3px gate adopts that point.
+    * a FREE matching keypoint adopts the projected point (AddObservation);
+    * a matching keypoint already BOUND to a different point triggers a
+      landmark MERGE (MapPoint::Replace): the point with more observations
+      wins, every keyframe link of the loser is redirected to the winner,
+      the loser is invalidated, and its found/visible counters transfer.
+
+    Returns the updated map.
     """
+    P = m.pt_pos.shape[0]
     T = m.kf_pose[kf]
     pc = geo.se3_apply(T, m.pt_pos)
     q = (K @ pc.T).T
     uv = q[:, :2] / jnp.where(jnp.abs(q[:, 2:3]) < 1e-9, 1e-9, q[:, 2:3])
     visible = m.pt_valid & (pc[:, 2] > 0)
-    gate = km.window_gate(m.kf_uv[kf], uv, 3.0)
-    free = m.kf_kp_valid[kf] & (m.kf_pt[kf] < 0)
+    if src_mask is not None:
+        visible = visible & src_mask
+    # points already bound in this keyframe must not re-match elsewhere
+    kf_row = m.kf_pt[kf]
+    bound_here = jnp.zeros((P + 1,), bool).at[jnp.where(kf_row >= 0, kf_row, P)].set(True)[:P]
+    visible = visible & ~bound_here
+    gate = km.window_gate(m.kf_uv[kf], uv, radius)
     idx, dist, ok = km.match_descriptors(
-        m.kf_desc[kf], m.pt_desc, free, visible, gate_mask=gate, max_dist=50.0, ratio=0.9
+        m.kf_desc[kf], m.pt_desc, m.kf_kp_valid[kf], visible,
+        gate_mask=gate, max_dist=50.0, ratio=0.9,
     )
-    new_row = jnp.where(ok, idx.astype(jnp.int32), m.kf_pt[kf])
-    return m._replace(kf_pt=m.kf_pt.at[kf].set(new_row))
+    src = idx.astype(jnp.int32)  # matched map point per keypoint
+    # free keypoints: bind directly
+    free = kf_row < 0
+    new_row = jnp.where(ok & free, src, kf_row)
+    m = m._replace(kf_pt=m.kf_pt.at[kf].set(new_row))
+    # bound keypoints: merge src with the existing point (better-observed wins)
+    merge = ok & ~free & (src != kf_row)
+    obs_count = ms.point_obs_counts(m)
+    dst = jnp.clip(kf_row, 0)
+    src_wins = obs_count[src] >= obs_count[dst]
+    winner = jnp.where(src_wins, src, dst)
+    loser = jnp.where(src_wins, dst, src)
+    winner = jnp.where(merge, winner, 0)
+    loser = jnp.where(merge, loser, P)  # out-of-range drops the write
+    rep = jnp.arange(P + 1, dtype=jnp.int32).at[loser].set(winner)
+    rep = rep[rep]  # collapse 2-chains (a->b, b->c)
+    kf_pt = jnp.where(m.kf_pt >= 0, rep[jnp.clip(m.kf_pt, 0)], m.kf_pt)
+    dead = rep[:P] != jnp.arange(P)
+    # transfer found/visible counters to the winner (MapPoint::Replace)
+    fnd = jnp.zeros(P + 1, jnp.int32).at[rep[:P]].add(jnp.where(dead, m.pt_found, 0))[:P]
+    vis = jnp.zeros(P + 1, jnp.int32).at[rep[:P]].add(jnp.where(dead, m.pt_visible, 0))[:P]
+    return m._replace(
+        kf_pt=kf_pt,
+        pt_valid=m.pt_valid & ~dead,
+        pt_found=m.pt_found + fnd,
+        pt_visible=m.pt_visible + vis,
+    )
+
+
+@jax.jit
+def fuse_duplicates(m: ms.MapState, kf, K):
+    """Project all map points into ``kf`` and fuse (SearchInNeighbors step,
+    LocalMapping.cc:494-574) — bind free keypoints, merge duplicates."""
+    return fuse_into_keyframe(m, kf, K)
 
 
 @jax.jit

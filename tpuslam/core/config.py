@@ -68,6 +68,16 @@ class TrackingConfig:
     # Tracking.cc:1335-1393); metric semantic measurements (planes/cuboids)
     # only cohere with the map when this is calibrated.
     init_median_depth: float = 1.0
+    # Metric rescale gates (frontend/tracking.py _update_metric_scale, the
+    # analogue of the reference's every-10-KF GT-height anchor): plane
+    # distances below ``rescale_min_plane_dist`` are too noisy to vote on
+    # scale; a correction outside [rescale_min, rescale_max] is rejected as a
+    # mis-association; at least ``rescale_min_planes`` direct observations
+    # must agree (median vote).
+    rescale_min_plane_dist: float = 0.3
+    rescale_min: float = 0.5
+    rescale_max: float = 2.0
+    rescale_min_planes: int = 2
 
 
 @dataclass(frozen=True)

@@ -78,9 +78,13 @@ def sample_depth_at_keypoints(feats_uv, depth_map, bf):
 
 
 @functools.partial(jax.jit, static_argnames=())
-def match_motion_model(m: ms.MapState, frame: Frame, last_pt: jnp.ndarray, last_angle, T_pred, cam: Camera, radius):
+def match_motion_model(m: ms.MapState, frame: Frame, last_pt: jnp.ndarray, last_angle, last_octave, T_pred, cam: Camera, radius):
     """SearchByProjection(current, last) (ORBmatcher.cc:1328-1470) +
-    PoseOptimization — returns (T_opt, pt_ids_per_kp, n_inliers)."""
+    PoseOptimization — returns (T_opt, pt_ids_per_kp, n_inliers).
+
+    The search window scales with the LAST observation's octave
+    (``radius * s^octave_last``, ORBmatcher.cc:1380) and candidates are
+    restricted to octaves within ±1 of it."""
     P = m.pt_pos.shape[0]
     has_pt = (last_pt >= 0) & m.pt_valid[jnp.clip(last_pt, 0)]
     X = m.pt_pos[jnp.clip(last_pt, 0)]
@@ -93,7 +97,9 @@ def match_motion_model(m: ms.MapState, frame: Frame, last_pt: jnp.ndarray, last_
         axis=-1,
     )
     vis = has_pt & (pc[:, 2] > 0)
-    gate = km.window_gate(uv_pred, frame.uv, radius)
+    radius_row = radius * 1.2 ** last_octave.astype(jnp.float32)
+    gate = km.window_gate(uv_pred, frame.uv, radius_row)
+    gate = gate & km.octave_gate(last_octave, frame.octave, -1, 1)
     desc_pt = m.pt_desc[jnp.clip(last_pt, 0)]
     idx, dist, ok = km.match_descriptors(
         desc_pt, frame.desc, vis, frame.valid, gate_mask=gate, max_dist=100.0, ratio=0.9
@@ -140,21 +146,33 @@ def match_reference_kf(m: ms.MapState, frame: Frame, ref_kf, T_init, cam: Camera
     return T_opt, kp_pt, n_in, jnp.sum(ok & (pt_ids >= 0))
 
 
-@functools.partial(jax.jit, static_argnames=("n_local",))
-def track_local_map(m: ms.MapState, frame: Frame, kp_pt, T_init, ref_kf, cam: Camera, n_local: int = 4096, radius=6.0):
+@functools.partial(jax.jit, static_argnames=("n_local", "n_local_kfs"))
+def track_local_map(m: ms.MapState, frame: Frame, kp_pt, T_init, ref_kf, cam: Camera, n_local: int = 4096, radius=6.0, n_local_kfs: int = 80):
     """TrackLocalMap (Tracking.cc:1163-1208): project the covisibility-local
     point set, bind additional keypoints, optimize the pose again.
+
+    The local keyframe set mirrors UpdateLocalKeyFrames (Tracking.cc:
+    1544-1607): first-order covisible neighbours of the reference KF plus
+    their own covisible neighbours (second order — the reference's
+    best-neighbour/children/parent expansion), capped at ``n_local_kfs``
+    (the reference's 80) with first-order always outranking second-order.
 
     Returns (T_opt, kp_pt_out, n_inliers, map_with_updated_counters).
     """
     N = frame.uv.shape[0]
     P = m.pt_pos.shape[0]
-    # local points = observed by ref KF's covisibility neighbourhood
+    K = m.kf_pose.shape[0]
     cov = ms.covisibility(m)
-    w = jnp.where(m.kf_valid, cov[ref_kf], -1.0)
-    w = w.at[ref_kf].set(jnp.inf)
-    _, kf_top = jax.lax.top_k(w, 16)
-    kf_mask = jnp.concatenate([jnp.ones(1, bool), (w[kf_top[1:]] > 0)])
+    w1 = jnp.where(m.kf_valid, cov[ref_kf], -1.0)
+    first = (w1 > 0) | (jnp.arange(K) == ref_kf)
+    # second-order score: strongest covisibility link into the first-order set
+    w2 = jnp.max(cov * first[:, None].astype(cov.dtype), axis=0)
+    w2 = jnp.where(m.kf_valid & ~first, w2, -1.0)
+    combined = jnp.where(w1 > 0, 1e6 + w1, w2)
+    combined = jnp.where(m.kf_valid, combined, -1.0).at[ref_kf].set(jnp.inf)
+    n_kfs = min(n_local_kfs, K)
+    top_w, kf_top = jax.lax.top_k(combined, n_kfs)
+    kf_mask = (top_w > 0) | (jnp.arange(n_kfs) == 0)
     obs = ms.incidence(m)
     local_mask = (jnp.sum(obs[kf_top] * kf_mask[:, None], axis=0) > 0) & m.pt_valid
     sel_val, pt_ids = jax.lax.top_k(local_mask.astype(jnp.float32), n_local)
@@ -176,12 +194,30 @@ def track_local_map(m: ms.MapState, frame: Frame, kp_pt, T_init, ref_kf, cam: Ca
         & (uv_proj[:, 1] >= 0)
         & (uv_proj[:, 1] < cam.height)
     )
-    visible = pt_mask & z_ok & in_img
+    # isInFrustum scale/viewing gates (Frame::isInFrustum, Frame.cc): the
+    # point must lie inside its scale-invariance distance band and be viewed
+    # within 60 deg of its mean normal; points without computed stats
+    # (max_dist sentinel 1e9) pass unconditionally
+    C = -T_init[:3, :3].T @ T_init[:3, 3]
+    po = X - C
+    dist = jnp.linalg.norm(po, axis=-1)
+    max_d = m.pt_max_dist[pt_ids]
+    has_band = max_d < 1e8
+    in_band = (dist >= 0.8 * m.pt_min_dist[pt_ids]) & (dist <= 1.2 * max_d)
+    view_cos = jnp.sum(po * m.pt_normal[pt_ids], axis=-1) / jnp.maximum(dist, 1e-9)
+    has_normal = jnp.linalg.norm(m.pt_normal[pt_ids], axis=-1) > 0.5
+    frustum_ok = ~has_band | (in_band & (~has_normal | (view_cos > 0.5)))
+    visible = pt_mask & z_ok & in_img & frustum_ok
     # already-bound map points must not be double-bound
     already = jnp.zeros((P + 1,), bool).at[jnp.where(kp_pt >= 0, kp_pt, P)].set(True)[:P]
     candidate = visible & ~already[pt_ids]
     kp_free = frame.valid & (kp_pt < 0)
-    gate = km.window_gate(uv_proj, frame.uv, radius)
+    # predicted-octave search radius (ORBmatcher::SearchByProjection local-map
+    # variant, ORBmatcher.cc:45-157: radius = th * s^predictedLevel, candidate
+    # octaves in [pred-1, pred])
+    pred_lvl = ms.predict_scale_level(dist, max_d)
+    gate = km.window_gate(uv_proj, frame.uv, radius * 1.2**pred_lvl)
+    gate = gate & km.octave_gate(pred_lvl.astype(jnp.int32), frame.octave, -1, 0)
     idx, dist, ok = km.match_descriptors(
         m.pt_desc[pt_ids], frame.desc, candidate, kp_free, gate_mask=gate, max_dist=50.0, ratio=0.8
     )
@@ -549,31 +585,23 @@ class Tracker:
         cfg = self.cfg
         T_pred = self.velocity @ self.T_cur
         T_opt, kp_pt, n_in = match_motion_model(
-            self.map, frame, self.last_kp_pt, self.last_frame.angle, T_pred,
+            self.map, frame, self.last_kp_pt, self.last_frame.angle,
+            self.last_frame.octave, T_pred,
             self.cam, cfg.tracking.search_radius_motion,
         )
         n_in = int(n_in)
         if n_in < cfg.tracking.min_track_motion:
-            if self.localization_only and self.cfg.sensor in ("rgbd", "stereo"):
-                # visual-odometry fallback against the last frame's depth
-                # (mbOnlyTracking temporal points, Tracking.cc:1045-1097)
-                T_vo, n_vo = match_motion_model_vo(
-                    self.last_frame, self.T_cur, frame, T_pred,
-                    self.cam, cfg.tracking.search_radius_motion,
-                )
-                if int(n_vo) >= cfg.tracking.min_track_motion:
-                    self.velocity = T_vo @ geo.se3_inv(self.T_cur)
-                    self.T_cur = T_vo
-                    self.last_frame = frame
-                    self.last_kp_pt = kp_pt
-                    self.n_inliers = int(n_vo)
-                    self.frames_since_kf += 1
-                    return
+            # map-based recovery first: the reference prefers a successful
+            # map-anchored pose over pure odometry even in mbOnlyTracking
+            # (Tracking.cc:515-560 runs Relocalization alongside VO and
+            # switches back as soon as map matches recover)
             T_opt, kp_pt, n_in, n_matches = match_reference_kf(
                 self.map, frame, self.ref_kf, self.T_cur, self.cam
             )
             n_in = int(n_in)
             if n_in < cfg.tracking.min_track_ref:
+                if self.localization_only and self._localization_fallback(frame, T_pred):
+                    return
                 self.state = self.LOST
                 return
         # NOTE: the reference widens this window 3x for RGBD (SearchLocalPoints
@@ -585,6 +613,7 @@ class Tracker:
             self.map, frame, kp_pt, T_opt, self.ref_kf, self.cam,
             n_local=cfg.caps.local_ba_points,
             radius=cfg.tracking.search_radius_localmap,
+            n_local_kfs=cfg.tracking.max_local_keyframes,
         )
         n_in = int(n_in)
         self.n_inliers = n_in
@@ -600,6 +629,48 @@ class Tracker:
             return  # frozen map: no keyframes, no mapping (mbOnlyTracking)
         if self._need_new_keyframe(n_in, frame, kp_pt):
             self._create_keyframe(frame, frame_id, kp_pt)
+
+    def _localization_fallback(self, frame: Frame, T_pred) -> bool:
+        """Frozen-map recovery when both motion-model and reference-KF map
+        tracking fail (mbOnlyTracking, Tracking.cc:515-560): first attempt a
+        full relocalization against the map — the reference runs it in
+        parallel with VO each frame and prefers the map-based pose — then
+        fall back to last-frame visual odometry (temporal points,
+        Tracking.cc:1045-1097, stereo/RGBD only).  Returns True if the frame
+        was handled (state stays OK)."""
+        cfg = self.cfg
+        if self.loop_closer is not None:
+            from .relocalize import relocalize
+
+            res = relocalize(
+                self.map, frame, self.cam, self.loop_closer.vocab, self.cfg, self.n_kf
+            )
+            if res is not None:
+                T_opt, kp_pt, n_in = res
+                self.velocity = T_opt @ geo.se3_inv(self.T_cur)
+                self.T_cur = T_opt
+                self.last_frame = frame
+                self.last_kp_pt = kp_pt
+                self.n_inliers = n_in
+                self.frames_since_kf += 1
+                return True
+        if self.cfg.sensor in ("rgbd", "stereo"):
+            T_vo, n_vo = match_motion_model_vo(
+                self.last_frame, self.T_cur, frame, T_pred,
+                self.cam, cfg.tracking.search_radius_motion,
+            )
+            if int(n_vo) >= cfg.tracking.min_track_motion:
+                self.velocity = T_vo @ geo.se3_inv(self.T_cur)
+                self.T_cur = T_vo
+                self.last_frame = frame
+                # the motion-model bindings were computed under a pose that
+                # was rejected in favour of T_vo — clear them so the next
+                # frame retries map tracking instead of seeding bad links
+                self.last_kp_pt = jnp.full(frame.uv.shape[0], -1, jnp.int32)
+                self.n_inliers = int(n_vo)
+                self.frames_since_kf += 1
+                return True
+        return False
 
     def _relocalize(self, frame: Frame, frame_id: int):
         """Relocalization when LOST (Tracking.cc:1663-1824); resets the whole
@@ -646,7 +717,7 @@ class Tracker:
         self.ref_kf = 0
         self.trajectory = []
         if self.loop_closer is not None:
-            self.loop_closer.consistency = {}
+            self.loop_closer.prev_groups = []
             self.loop_closer.last_loop_kf = -1000
 
     def _need_new_keyframe(self, n_in: int, frame: Frame, kp_pt) -> bool:
@@ -711,7 +782,7 @@ class Tracker:
             if closed:
                 from ..backend.local_ba import run_global_ba
 
-                self.map, _ = run_global_ba(self.map, self.cam, self.cfg)
+                self.map, _ = run_global_ba(self.map, self.cam, self.cfg, n_kf=self.n_kf)
                 self.T_cur = self.map.kf_pose[slot]
                 self.velocity = jnp.eye(4)
         self.last_kp_pt = self.map.kf_pt[slot]
@@ -742,22 +813,23 @@ class Tracker:
         ground-height rescaling (Tracking.cc:1335-1393, every 10 KFs with a
         known camera height; here: median d_meas / d_pred over the current
         KF's direct plane observations)."""
+        tc = self.cfg.tracking
         m = self.map
         pid = np.array(m.kf_plane_map[kf_slot])
-        pvalid = np.array(m.kf_plane_valid[kf_slot])
-        meas = np.array(m.kf_plane_coef[kf_slot])
-        ratios = []
-        for i in range(len(pid)):
-            if not pvalid[i] or pid[i] < 0:
-                continue
-            local = geo.plane_transform(m.kf_pose[kf_slot], m.plane_coef[pid[i]])
-            d_pred = float(local[3])
-            d_meas = float(meas[i][3])
-            if d_pred > 0.3 and d_meas > 0.3:
-                ratios.append(d_meas / d_pred)
-        if len(ratios) >= 2:
-            s = float(np.median(ratios))
-            if 0.5 < s < 2.0 and abs(s - 1.0) > 0.005:
+        pvalid = np.array(m.kf_plane_valid[kf_slot]) & (pid >= 0)
+        d_meas = np.array(m.kf_plane_coef[kf_slot])[:, 3]
+        # predicted camera-local distances of the associated map planes, all
+        # slots at once (plane_transform vmapped over the detection slots)
+        local = np.array(
+            jax.vmap(lambda p: geo.plane_transform(m.kf_pose[kf_slot], p))(
+                m.plane_coef[jnp.clip(jnp.asarray(pid), 0)]
+            )
+        )
+        d_pred = local[:, 3]
+        use = pvalid & (d_pred > tc.rescale_min_plane_dist) & (d_meas > tc.rescale_min_plane_dist)
+        if int(use.sum()) >= tc.rescale_min_planes:
+            s = float(np.median(d_meas[use] / d_pred[use]))
+            if tc.rescale_min < s < tc.rescale_max and abs(s - 1.0) > 0.005:
                 self.map = ms.rescale_map(m, jnp.float32(s))
                 self.T_cur = self.map.kf_pose[kf_slot]
                 self.velocity = self.velocity.at[:3, 3].mul(s)

@@ -962,16 +962,21 @@ def optimize_pose(
             rho_new = jnp.sum(
                 jnp.where(use_huber, _rho_huber(chi2_new, chi2_lim), chi2_new) * inlier
             )
-            ok = (rho_new < rho_cur) & jnp.all(jnp.isfinite(T_new))
+            dn_new = jnp.linalg.norm(delta)
+            ok = (rho_new < rho_cur) & jnp.all(jnp.isfinite(T_new)) & jnp.isfinite(dn_new)
             T = jnp.where(ok, T_new, T)
             lam = jnp.where(ok, jnp.maximum(lam * 0.3, 1e-7), jnp.minimum(lam * 8.0, 1e4))
-            return T, lam, it + 1, jnp.linalg.norm(delta)
+            # carry the step norm only for ACCEPTED steps: a rejected or
+            # non-finite delta (near-singular solve) must not look converged —
+            # the loop keeps iterating with increased damping and can recover
+            dn = jnp.where(ok, dn_new, dn)
+            return T, lam, it + 1, dn
 
-        # early-exit LM: iterations after convergence only get rejected (the
-        # step norm collapses as lambda grows), so stopping at a tiny step is
-        # result-equivalent to running the reference's full 10 iterations
-        # (Optimizer.cc:430 optimizer.optimize(its[it])) — and the pose-opt
-        # chain is the per-frame latency tail on TPU (~21 us per iteration).
+        # early-exit LM: once an ACCEPTED step is tiny the solution has
+        # converged, so stopping there is result-equivalent to running the
+        # reference's full 10 iterations (Optimizer.cc:430
+        # optimizer.optimize(its[it])) — and the pose-opt chain is the
+        # per-frame latency tail on TPU (~21 us per iteration).
         def cond(carry):
             _, _, it, dn = carry
             return (it < iters_per_round) & (dn > 1e-6)

@@ -387,7 +387,13 @@ def _extract_patches(pyramid, kp_l, kp_y, kp_x):
          transfers that XLA lowers to efficient DMA;
       2. column selection as a one-hot bf16 matmul on the MXU
          ((N, 48, Wp) @ (N, Wp, 64)) — selection weights in {0, 1} are exact
-         in bf16.
+         in bf16.  The pixel strips themselves are mean-centered before the
+         bf16 cast and the mean is added back after (each output column
+         selects exactly one input column, so the shift is exact): bf16's
+         8-bit mantissa quantizes raw intensities near 255 by ~1 gray level,
+         but deviations from the patch mean are typically <64, keeping the
+         error under ~1/4 level for the downstream IC-angle moments and
+         BRIEF comparisons (descriptor parity covered by test_orb.py).
     Measured 3.5x faster than a vmapped (1, 48, 64) ``dynamic_slice`` (the
     3D slice gather lowers poorly on TPU: 1.98 -> 0.56 ms/frame for 1024
     keypoints on a v5e).  The pyramid is border-padded once so every row and
@@ -406,12 +412,14 @@ def _extract_patches(pyramid, kp_l, kp_y, kp_x):
         col0[:, None, None] + jnp.arange(_PATCH_W)[None, None, :]
         == jnp.arange(Wp)[None, :, None]
     ).astype(jnp.bfloat16)  # (N, Wp, 64)
-    return jnp.einsum(
+    mean = jnp.mean(strips, axis=(1, 2), keepdims=True)
+    sel = jnp.einsum(
         "nyw,nwx->nyx",
-        strips.astype(jnp.bfloat16),
+        (strips - mean).astype(jnp.bfloat16),
         onehot,
         preferred_element_type=jnp.float32,
     )
+    return sel + mean
 
 
 def _blur_pyramid(pyramid, sigma: float = 2.0, radius: int = 3):

@@ -14,6 +14,7 @@ recomputed on demand — cheaper on the MXU than maintaining adjacency lists.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -330,25 +331,102 @@ def rescale_map(m: MapState, s):
     )
 
 
-def update_point_stats(m: MapState):
-    """Refresh representative descriptors and normals from current links.
+def keypoint_of_point(m: MapState):
+    """(K, P) int32: the keypoint index in keyframe k observing point p,
+    -1 when k does not observe p — the inverse of ``kf_pt`` built with one
+    scatter (replaces MapPoint::GetIndexInKeyFrame's per-point hash map)."""
+    K, N = m.kf_pt.shape
+    P = m.pt_pos.shape[0]
+    linked = (m.kf_pt >= 0) & m.kf_kp_valid & m.kf_valid[:, None]
+    cols = jnp.where(linked, m.kf_pt, P)
+    kp_of = jnp.full((K, P + 1), -1, jnp.int32)
+    kp_of = kp_of.at[
+        jnp.arange(K)[:, None] * jnp.ones((1, N), jnp.int32), cols
+    ].set(jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (K, N)))
+    return kp_of[:, :P]
 
-    Mirrors MapPoint::ComputeDistinctiveDescriptors (median-Hamming argmin)
-    and UpdateNormalAndDepth (MapPoint.cc) — but batched over the whole map:
-    for each point gather up to K observing keyframes through the incidence
-    structure and reduce.
+
+@functools.partial(jax.jit, static_argnames=("max_obs", "n_levels", "scale_factor"))
+def update_point_stats(m: MapState, max_obs: int = 8, n_levels: int = 8,
+                       scale_factor: float = 1.2):
+    """Refresh representative descriptors, normals, and scale-invariance
+    distance bands from the current observation links — batched over the
+    whole map.
+
+    * **Distinctive descriptor** (MapPoint::ComputeDistinctiveDescriptors,
+      MapPoint.cc): gather up to ``max_obs`` observing keyframes per point,
+      compute the pairwise Hamming matrix with XOR+popcount, and pick the
+      observation whose MEDIAN distance to the others is smallest.
+    * **Normal** (MapPoint::UpdateNormalAndDepth): mean unit direction from
+      observing camera centers to the point.
+    * **Scale band** (UpdateNormalAndDepth): from the anchor observation
+      (``pt_first_kf`` when it still observes the point, else the strongest
+      observer), ``max_dist = |X - C_ref| * s^octave_ref`` and
+      ``min_dist = max_dist / s^(n_levels-1)`` — consumed by the
+      predicted-octave search radius (ORBmatcher.cc:45-157 semantics).
     """
-    from ..kernels.match import hamming_matrix
-
     K, N = m.kf_pt.shape
     P = m.pt_pos.shape[0]
     obs = incidence(m) > 0  # (K, P)
-    # normals: mean direction point -> camera center
     centers = -jnp.einsum("kij,kj->ki", m.kf_pose[:, :3, :3].transpose(0, 2, 1), m.kf_pose[:, :3, 3])
+
+    # normals: mean direction point -> camera center
     diff = m.pt_pos[None, :, :] - centers[:, None, :]  # (K, P, 3)
     dirs = diff / (jnp.linalg.norm(diff, axis=-1, keepdims=True) + 1e-9)
     w = obs.astype(jnp.float32)
     normal = jnp.einsum("kp,kpd->pd", w, dirs)
     nrm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
     normal = jnp.where(nrm > 1e-6, normal / nrm, m.pt_normal)
-    return m._replace(pt_normal=normal)
+
+    # per-point observation gather: top max_obs observing keyframes
+    M = min(max_obs, K)
+    kp_of = keypoint_of_point(m)  # (K, P)
+    val, kf_ids = jax.lax.top_k(obs.T.astype(jnp.float32), M)  # (P, M)
+    obs_mask = val > 0
+    p_idx = jnp.arange(P, dtype=jnp.int32)
+    kp_ids = kp_of[kf_ids, p_idx[:, None]]  # (P, M)
+    obs_mask = obs_mask & (kp_ids >= 0)
+    cnt = jnp.sum(obs_mask, axis=1)  # (P,)
+
+    # distinctive descriptor: median-Hamming argmin over the gathered set
+    descs = m.kf_desc[kf_ids, jnp.clip(kp_ids, 0)]  # (P, M, 8) uint32
+    x = descs[:, :, None, :] ^ descs[:, None, :, :]  # (P, M, M, 8)
+    ham = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.float32)
+    ham = jnp.where(obs_mask[:, None, :], ham, jnp.inf)  # invalid columns out
+    srt = jnp.sort(ham, axis=-1)  # per row: valid distances first
+    med_idx = jnp.maximum(cnt - 1, 0) // 2  # reference: idx = 0.5*(N-1)
+    med = jnp.take_along_axis(
+        srt, med_idx[:, None, None] * jnp.ones((1, M, 1), med_idx.dtype), axis=-1
+    )[..., 0]  # (P, M)
+    med = jnp.where(obs_mask, med, jnp.inf)
+    best = jnp.argmin(med, axis=-1)  # (P,)
+    new_desc = jnp.take_along_axis(descs, best[:, None, None], axis=1)[:, 0]
+    has_obs = cnt > 0
+    pt_desc = jnp.where(has_obs[:, None], new_desc, m.pt_desc)
+
+    # scale band from the anchor observation
+    ref_kf = jnp.clip(m.pt_first_kf, 0, K - 1)
+    ref_kp = kp_of[ref_kf, p_idx]
+    ref_ok = m.kf_valid[ref_kf] & (ref_kp >= 0)
+    ref_kf = jnp.where(ref_ok, ref_kf, kf_ids[:, 0])
+    ref_kp = jnp.where(ref_ok, ref_kp, kp_ids[:, 0])
+    dist = jnp.linalg.norm(m.pt_pos - centers[ref_kf], axis=-1)
+    level = m.kf_octave[ref_kf, jnp.clip(ref_kp, 0)].astype(jnp.float32)
+    max_d = dist * scale_factor**level
+    min_d = max_d / scale_factor ** float(n_levels - 1)
+    pt_max = jnp.where(has_obs, max_d, m.pt_max_dist)
+    pt_min = jnp.where(has_obs, min_d, m.pt_min_dist)
+
+    return m._replace(
+        pt_normal=normal, pt_desc=pt_desc, pt_min_dist=pt_min, pt_max_dist=pt_max
+    )
+
+
+def predict_scale_level(dist, max_dist, n_levels: int = 8, scale_factor: float = 1.2):
+    """Predicted pyramid octave of a map point seen from distance ``dist``
+    (MapPoint::PredictScale, MapPoint.cc: ceil(log(maxDist/dist)/log(s))).
+    Points without a computed band (max_dist >= 1e8) predict level 0."""
+    ratio = jnp.maximum(max_dist, 1e-9) / jnp.maximum(dist, 1e-9)
+    lvl = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(scale_factor))
+    lvl = jnp.clip(lvl, 0, n_levels - 1)
+    return jnp.where(max_dist >= 1e8, 0.0, lvl)

@@ -4,13 +4,22 @@ Re-design of LoopClosing.cc + KeyFrameDatabase.cc:
 
   DetectLoop      BoW scoring of the new KF against all non-covisible KFs
                   (inverted-file walk -> one matvec, place/vocab.py), with
-                  the min-covisible-score gate (LoopClosing.cc:119-150) and
-                  the 3-consecutive-KF consistency check (LoopClosing.cc:
-                  152-211, host-side group tracking).
+                  the min-covisible-score gate (LoopClosing.cc:119-150),
+                  the 0.8*maxCommonWords shared-word gate + accumulated
+                  covisibility-group scoring (KeyFrameDatabase.cc:55-130),
+                  and covisibility-GROUP consistency across 3 consecutive
+                  keyframes (LoopClosing.cc:152-211).
   ComputeSim3     dense descriptor matching of map points between the two
                   KFs + batched Horn RANSAC (backend/sim3solver.py),
-                  >= 20 inliers (LoopClosing.cc:274-330).
-  CorrectLoop     Sim3 essential-graph optimization over all KFs
+                  >= 20 inliers (LoopClosing.cc:274-330), then guided
+                  SearchByProjection of the loop-neighbourhood points into
+                  the current KF with the corrected pose, accepted only with
+                  >= 40 total matched keypoints (LoopClosing.cc:375-391).
+  CorrectLoop     Sim3 propagation to the current KF's covisible neighbours
+                  with map-point correction (LoopClosing.cc:443-516),
+                  loop-point fusion with landmark MERGING (SearchAndFuse,
+                  LoopClosing.cc:542,587-613 + MapPoint::Replace), Sim3
+                  essential-graph optimization over all KFs
                   (backend/posegraph.py) + point re-anchoring, then an
                   interruption-free global BA (the reference runs GBA in a
                   transient thread, LoopClosing.cc:645-749; here it is a
@@ -46,7 +55,9 @@ class LoopCloser:
         self.vocab = vocab
         self.cam = cam
         self.cfg = cfg
-        self.consistency: dict = {}  # candidate kf -> consecutive hits
+        # previous consistent groups: list of (covisibility mask (K,), streak)
+        # — LoopClosing::mvConsistentGroups (LoopClosing.cc:152-211)
+        self.prev_groups: list = []
         self.last_loop_kf = -1000
         self.n_loops_closed = 0
 
@@ -57,8 +68,9 @@ class LoopCloser:
         if n_kf < 10 or kf_slot - self.last_loop_kf < 10:
             return m, False
 
-        cov = ms.covisibility(m)
-        cov_row = np.array(cov[kf_slot])
+        cov = np.array(ms.covisibility(m))
+        kf_valid = np.array(m.kf_valid)
+        cov_row = cov[kf_slot]
         scores = np.array(vb.bow_scores(bow, m.kf_bow, m.kf_valid))
         covisible = cov_row >= 15
         # min score among covisible neighbours (LoopClosing.cc:119-134)
@@ -66,26 +78,61 @@ class LoopCloser:
             return m, False
         min_score = float(scores[covisible].min())
         K = scores.shape[0]
-        cand_mask = (
-            (scores >= max(min_score, 0.01))
-            & ~covisible
-            & np.array(m.kf_valid)
+        pool = (
+            ~covisible
+            & kf_valid
             & (np.arange(K) < kf_slot - 10)  # temporally distant
         )
-        cand_mask[kf_slot] = False
-        candidates = np.where(cand_mask)[0]
+        pool[kf_slot] = False
 
-        # consistency over consecutive keyframes (LoopClosing.cc:152-211)
-        new_consistency: dict = {}
+        # shared-word gating (KeyFrameDatabase::DetectLoopCandidates):
+        # candidates must share > 0.8 * maxCommonWords words with the query
+        pres_q = np.array(bow) > 0
+        pres_db = np.array(m.kf_bow) > 0
+        common = (pres_db & pres_q[None, :]).sum(axis=1).astype(np.float32)
+        common = np.where(pool, common, 0.0)
+        if common.max() <= 0:
+            return m, False
+        min_common = 0.8 * common.max()
+        score_and_match = pool & (common > min_common) & (scores >= max(min_score, 0.01))
+        if not score_and_match.any():
+            return m, False
+
+        # accumulated covisibility-group scoring (KeyFrameDatabase.cc:90-130):
+        # each candidate's score is summed with its top-10 covisible
+        # neighbours that are also candidates; groups below 0.75 * best
+        # accumulated score are dropped, keeping each group's best member
+        cand_idx = np.where(score_and_match)[0]
+        acc_scores = np.empty(len(cand_idx), np.float32)
+        best_in_group = np.empty(len(cand_idx), np.int64)
+        for n, c in enumerate(cand_idx):
+            nbrs = np.argsort(-cov[c])[:10]
+            group = np.concatenate([[c], nbrs[cov[c][nbrs] > 0]])
+            in_match = score_and_match[group]
+            acc_scores[n] = scores[group][in_match].sum()
+            gm = group[in_match]
+            best_in_group[n] = gm[np.argmax(scores[gm])]
+        best_acc = acc_scores.max()
+        keep = acc_scores > 0.75 * best_acc
+        candidates = np.unique(best_in_group[keep])
+
+        # covisibility-GROUP consistency over consecutive keyframes
+        # (LoopClosing.cc:152-211): a candidate's group (itself + covisible
+        # KFs) must intersect a group from the previous keyframe's detection,
+        # for covisibility_consistency_th consecutive keyframes
+        new_groups: list = []
         consistent_enough = []
         for c in candidates:
-            streak = 1 + max(
-                (v for k, v in self.consistency.items() if abs(k - c) <= 3), default=0
-            )
-            new_consistency[int(c)] = streak
+            group_mask = (cov[c] > 0) & kf_valid
+            group_mask[c] = True
+            streak = 1
+            for prev_mask, prev_streak in self.prev_groups:
+                if (group_mask & prev_mask).any():
+                    streak = max(streak, prev_streak + 1)
+            new_groups.append((group_mask, streak))
             if streak >= cfg.loop.covisibility_consistency_th:
                 consistent_enough.append(int(c))
-        self.consistency = new_consistency
+        self.prev_groups = new_groups
         if not consistent_enough:
             return m, False
 
@@ -95,20 +142,28 @@ class LoopCloser:
             res = self._compute_sim3(m, kf_slot, loop_kf)
             if res is None:
                 continue
-            S_cl = res
-            m = self._correct_loop(m, kf_slot, loop_kf, S_cl, n_kf)
+            S_cl, loop_pts = res
+            m = self._correct_loop(m, kf_slot, loop_kf, S_cl, loop_pts, n_kf)
             self.last_loop_kf = kf_slot
-            self.consistency = {}
+            self.prev_groups = []
             self.n_loops_closed += 1
             return m, True
         return m, False
 
     # ------------------------------------------------------------------
 
+    def _loop_neighbourhood_points(self, m: ms.MapState, kf_loop: int):
+        """(P,) bool: points observed by the loop KF or its covisible
+        neighbours (mvpLoopMapPoints, LoopClosing.cc:360-373)."""
+        cov = ms.covisibility(m)
+        nbh = ((cov[kf_loop] >= 15) & m.kf_valid).at[kf_loop].set(True)
+        obs = ms.incidence(m)
+        return (jnp.sum(obs * nbh[:, None], axis=0) > 0) & m.pt_valid
+
     def _compute_sim3(self, m: ms.MapState, kf_cur: int, kf_loop: int):
         """Match bound keypoints between the KFs and solve Sim3 (camera
-        frames): returns (4, 4) Sim3 S_cl mapping loop-frame to current-frame,
-        or None."""
+        frames): returns (S_cl (4,4) mapping loop-frame to current-frame,
+        loop-neighbourhood point mask) or None."""
         cfg = self.cfg
         has_cur = (m.kf_pt[kf_cur] >= 0) & m.kf_kp_valid[kf_cur]
         has_loop = (m.kf_pt[kf_loop] >= 0) & m.kf_kp_valid[kf_loop]
@@ -144,35 +199,96 @@ class LoopCloser:
         )
         if int(n_in) < cfg.loop.min_sim3_inliers:
             return None
-        return S_ref
+        # guided matching: project the loop-neighbourhood map points into the
+        # current KF with the Sim3-corrected pose and require >= 40 total
+        # matched keypoints before accepting (LoopClosing.cc:375-391) — the
+        # gate that keeps false loops from welding the map
+        loop_pts = self._loop_neighbourhood_points(m, kf_loop)
+        S_cw = S_ref @ m.kf_pose[kf_loop]  # Sim3 world -> current camera
+        kp_proj = _project_and_match(
+            m, jnp.int32(kf_cur), loop_pts, S_cw, self.cam.K, radius=10.0
+        )
+        sim3_kp = inl & ok & (pt_cur >= 0)
+        total = int(jnp.sum(kp_proj | sim3_kp))
+        if total < cfg.loop.min_total_matches:
+            return None
+        return S_ref, loop_pts
 
-    def _correct_loop(self, m: ms.MapState, kf_cur: int, kf_loop: int, S_cl, n_kf: int):
-        """Essential-graph optimization + point re-anchoring
+    def _correct_loop(self, m: ms.MapState, kf_cur: int, kf_loop: int, S_cl,
+                      loop_pts, n_kf: int):
+        """Sim3 propagation + fusion + essential-graph optimization
         (LoopClosing::CorrectLoop, LoopClosing.cc:402-585)."""
         K = m.kf_pose.shape[0]
-        S_old = m.kf_pose  # scale-1 sim3 == se3
-        # edges: temporal chain + strong covisibility + the loop edge
-        cov = ms.covisibility(m)
-        strong = np.array((cov >= self.cfg.loop.essential_graph_min_feat))
+        S_old = m.kf_pose  # scale-1 sim3 == se3, PRE-correction snapshot
+        cov_np = np.array(ms.covisibility(m))
         kf_valid = np.array(m.kf_valid)
-        ii, jj = [], []
-        for a in range(n_kf - 1):
-            if kf_valid[a] and kf_valid[a + 1]:
-                ii.append(a)
-                jj.append(a + 1)
-        su = np.argwhere(np.triu(strong, 2))
-        for a, b in su:
-            if kf_valid[a] and kf_valid[b]:
-                ii.append(int(a))
-                jj.append(int(b))
-        ii.append(kf_loop)
-        jj.append(kf_cur)
+
+        # 1. propagate the corrected Sim3 to the current KF's covisible
+        #    neighbourhood (LoopClosing.cc:443-470): S_iw' = (T_i T_c^-1) S_cw'
+        nbh_np = (cov_np[kf_cur] >= 15) & kf_valid
+        nbh_np[kf_cur] = True
+        nbh = jnp.asarray(nbh_np)
+        T_c_inv = geo.se3_inv(S_old[kf_cur])
+        S_cw_corr = S_cl @ S_old[kf_loop]
+        S_corr = jax.vmap(lambda T: (T @ T_c_inv) @ S_cw_corr)(S_old)
+        S_start = jnp.where(nbh[:, None, None], S_corr, S_old)
+
+        # 2. per-point anchor (LoopClosing.cc:470-516): current-side points
+        #    anchor to their first current-neighbourhood observer so their
+        #    world coords move with the correction; loop-neighbourhood points
+        #    are the reference frame of the weld and anchor to a LOOP-side
+        #    observer (preferring one outside the current neighbourhood,
+        #    whose pose does not move in this step).  Computed BEFORE fusion
+        #    so merged points keep anchors consistent with their coordinates.
+        lnbh_np = (cov_np[kf_loop] >= 15) & kf_valid
+        lnbh_np[kf_loop] = True
+        lnbh = jnp.asarray(lnbh_np)
+        obs = ms.incidence(m) > 0
+        pref = obs & lnbh[:, None] & ~nbh[:, None]
+        fall = obs & lnbh[:, None]
+        anchor_loop = jnp.where(
+            jnp.any(pref, axis=0), jnp.argmax(pref, axis=0), jnp.argmax(fall, axis=0)
+        ).astype(jnp.int32)
+        nbh_obs = obs & nbh[:, None]
+        has_nbh = jnp.any(nbh_obs, axis=0)
+        anchor_cur = jnp.where(
+            has_nbh, jnp.argmax(nbh_obs, axis=0).astype(jnp.int32),
+            jnp.clip(m.pt_first_kf, 0, K - 1),
+        )
+        anchor = jnp.where(loop_pts, anchor_loop, anchor_cur)
+        pts = correct_points_for_sim3(m.pt_pos, anchor, S_old, S_start)
+        pts = jnp.where(m.pt_valid[:, None], pts, m.pt_pos)
+        poses_corr = jnp.where(nbh[:, None, None], sim3_to_se3(S_start), m.kf_pose)
+        m = m._replace(kf_pose=poses_corr, pt_pos=pts)
+
+        # 3. fuse the loop-neighbourhood points into the corrected current
+        #    neighbourhood with landmark MERGING (SearchAndFuse,
+        #    LoopClosing.cc:542,587-613; better-observed point wins)
+        from ..backend.mapping import fuse_into_keyframe
+
+        fuse_kfs = [kf_cur] + [
+            int(k) for k in np.argsort(-cov_np[kf_cur])[:15] if nbh_np[k] and k != kf_cur
+        ]
+        for k in fuse_kfs:
+            m = fuse_into_keyframe(m, jnp.int32(k), self.cam.K, src_mask=loop_pts, radius=4.0)
+
+        # 4. essential graph over all KFs: measurements from PRE-correction
+        #    relative poses, initialized at the propagated poses, loop KF
+        #    fixed (Optimizer::OptimizeEssentialGraph, Optimizer.cc:789-1052)
+        strong = np.array((cov_np >= self.cfg.loop.essential_graph_min_feat))
+        # temporal chain edges (spanning-tree analogue) + strong covisibility
+        # edges + the loop edge, built with vectorized numpy (no O(K^2) loop)
+        a = np.arange(n_kf - 1)
+        chain_ok = kf_valid[a] & kf_valid[a + 1]
+        su = np.argwhere(np.triu(strong & kf_valid[:, None] & kf_valid[None, :], 2))
+        ii = np.concatenate([a[chain_ok], su[:, 0], [kf_loop]]).astype(np.int32)
+        jj = np.concatenate([a[chain_ok] + 1, su[:, 1], [kf_cur]]).astype(np.int32)
         E = len(ii)
-        ii = jnp.asarray(np.array(ii, np.int32))
-        jj = jnp.asarray(np.array(jj, np.int32))
+        ii = jnp.asarray(ii)
+        jj = jnp.asarray(jj)
         # measurements from pre-loop relative poses, except the loop edge:
         # S_cur_loop = S_cl  => meas M_ji with i=loop, j=cur is S_cl
-        meas = jax.vmap(lambda a, b: S_old[b] @ geo.se3_inv(S_old[a]))(ii, jj)
+        meas = jax.vmap(lambda p, q: S_old[q] @ geo.se3_inv(S_old[p]))(ii, jj)
         meas = meas.at[E - 1].set(S_cl)
         weight = jnp.ones(E)
         weight = weight.at[E - 1].set(5.0)
@@ -181,19 +297,32 @@ class LoopCloser:
         )
         fixed = jnp.zeros(K, bool).at[kf_loop].set(True) | ~m.kf_valid
         S_new, costs = optimize_essential_graph(
-            S_old, fixed, edges, n_iters=self.cfg.loop.essential_graph_iters
+            S_start, fixed, edges, n_iters=self.cfg.loop.essential_graph_iters
         )
-        # write back: poses (scale folded), points re-anchored via first KF
+        # write back: poses (scale folded), points re-anchored through the
+        # same per-point anchor, from the propagated to the optimized poses
         new_poses = sim3_to_se3(S_new)
         new_poses = jnp.where(m.kf_valid[:, None, None], new_poses, m.kf_pose)
-        pts = correct_points_for_sim3(m.pt_pos, jnp.clip(m.pt_first_kf, 0, K - 1), S_old, S_new)
+        pts = correct_points_for_sim3(m.pt_pos, anchor, S_start, S_new)
         pts = jnp.where(m.pt_valid[:, None], pts, m.pt_pos)
         m = m._replace(kf_pose=new_poses, pt_pos=pts)
-        # fuse duplicate landmarks around the weld: after correction the
-        # current KF and the loop KF see the same structure twice
-        # (LoopClosing::SearchAndFuse, LoopClosing.cc:542, 587-613)
-        from ..backend.mapping import fuse_duplicates
+        # refresh descriptors/normals/scale bands after the merge+correction
+        return ms.update_point_stats(m)
 
-        m = fuse_duplicates(m, jnp.int32(kf_cur), self.cam.K)
-        m = fuse_duplicates(m, jnp.int32(kf_loop), self.cam.K)
-        return m
+
+@jax.jit
+def _project_and_match(m: ms.MapState, kf, src_mask, S_cw, K, radius: float = 10.0):
+    """Project the points in ``src_mask`` through the Sim3 ``S_cw`` into
+    keyframe ``kf`` and descriptor-match against its keypoints — the guided
+    SearchByProjection of LoopClosing::ComputeSim3 (ORBmatcher.cc:290 variant,
+    no ratio test, TH_LOW).  Returns (N,) bool per current keypoint."""
+    pc = geo.sim3_apply(S_cw, m.pt_pos)
+    q = (K @ pc.T).T
+    uv = q[:, :2] / jnp.where(jnp.abs(q[:, 2:3]) < 1e-9, 1e-9, q[:, 2:3])
+    visible = src_mask & (pc[:, 2] > 0.05)
+    gate = km.window_gate(m.kf_uv[kf], uv, radius)
+    idx, dist, ok = km.match_descriptors(
+        m.kf_desc[kf], m.pt_desc, m.kf_kp_valid[kf], visible,
+        gate_mask=gate, max_dist=50.0,
+    )
+    return ok

@@ -43,8 +43,9 @@ class Profiler:
             }
         return out
 
-    def print_aggregated(self):
-        """Same shape as ca::Profiler::print_aggregated (profiler.hpp:77-84)."""
+    def print_aggregated(self, file=None):
+        """Same shape as ca::Profiler::print_aggregated (profiler.hpp:77-84).
+        ``file``: output stream (default stdout)."""
         agg = self.aggregate()
         if not agg:
             return
@@ -53,7 +54,8 @@ class Profiler:
             a = agg[name]
             print(
                 f"{name:<{width}}  calls {a['count']:>6}  total {a['total_s']:.3f}s"
-                f"  mean {a['mean_ms']:.2f}ms  max {a['max_ms']:.2f}ms"
+                f"  mean {a['mean_ms']:.2f}ms  max {a['max_ms']:.2f}ms",
+                file=file,
             )
 
 
