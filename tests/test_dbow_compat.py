@@ -167,3 +167,37 @@ def test_assignment_matches_host_reference(tmp_path):
     words, _ = dc.assign_words(tv, jnp.asarray(q), jnp.ones(32, bool))
     expect = [host_walk(q[i]) for i in range(32)]
     np.testing.assert_array_equal(np.asarray(words), expect)
+
+
+def test_load_flat_vocabulary_and_tracker_injection(tmp_path):
+    """--vocab path: an ORBvoc file flattens onto the MXU codebook
+    (place/vocab.load_flat_vocabulary) and plugs into the Tracker; queries
+    equal to leaf centroids land on their own word ids."""
+    from tpuslam.place import vocab as vb
+    from tpuslam.core.camera import Camera
+    from tpuslam.core.config import SlamConfig, Capacities
+    from tpuslam.frontend.tracking import Tracker
+
+    rng = np.random.RandomState(4)
+    rows, descs = _toy_rows(rng)
+    tpath = os.path.join(tmp_path, "voc.txt")
+    _write_text_vocab(tpath, 2, 2, rows)
+    voc = vb.load_flat_vocabulary(tpath)
+    assert voc.n_words == 4
+    leaf_desc = np.stack([descs[2], descs[3], descs[4], descs[5]])
+    q = jnp.asarray(dc._pack_desc_bytes(leaf_desc))
+    words = vb.assign_words(voc, q, jnp.ones(4, bool))
+    np.testing.assert_array_equal(np.asarray(words), [0, 1, 2, 3])
+
+    cam = Camera.make(300.0, 300.0, 160.0, 120.0)
+    caps = Capacities(max_keypoints=64, max_keyframes=8, max_points=256,
+                      max_planes=4, max_cuboids=2, vocab_words=4)
+    import dataclasses
+    cfg = SlamConfig(caps=caps)
+    cfg = cfg.replace(orb=dataclasses.replace(cfg.orb, n_features=64))
+    tr = Tracker(cam, cfg, vocab=voc)
+    assert tr.loop_closer.vocab is voc
+    # a word-count mismatch must be rejected loudly
+    import pytest
+    with pytest.raises(ValueError):
+        Tracker(cam, cfg.replace(caps=dataclasses.replace(caps, vocab_words=8)), vocab=voc)

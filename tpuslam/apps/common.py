@@ -55,6 +55,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         help="every N frames, dump map + frame overlay PNGs to <out>/viz/ "
         "(headless Viewer/MapDrawer/FrameDrawer analogue)",
     )
+    ap.add_argument(
+        "--vocab", default="",
+        help="place-recognition vocabulary: path to a DBoW2 ORBvoc .txt/.bin "
+        "(the reference's System.cc:69-75 load, flattened onto the MXU "
+        "codebook), or 'train' to k-means a codebook from the sequence's own "
+        "ORB descriptors; default is a seeded random-LSH codebook",
+    )
     return ap
 
 
@@ -86,7 +93,45 @@ def camera_from_args(args, default_cam: Camera):
     return default_cam, {}
 
 
-def make_tracker(args, cam: Camera, cfg: SlamConfig) -> Tracker:
+def build_vocab(args, cfg: SlamConfig, sample_grays=None):
+    """Resolve the --vocab flag into (vocab, cfg).
+
+    * path: load an ORBvoc tree (text/binary) and flatten its leaves onto
+      the MXU codebook; caps.vocab_words is adjusted to the file's word
+      count (the kf_bow pad width must match).
+    * 'train': binary k-means over ORB descriptors extracted from up to 10
+      sample frames of the sequence (``sample_grays`` iterable).
+    * '': None — the Tracker falls back to the seeded-LSH codebook.
+    """
+    import dataclasses
+
+    name = getattr(args, "vocab", "")
+    if not name:
+        return None, cfg
+    from ..place import vocab as vb
+
+    if name == "train":
+        if sample_grays is None:
+            raise ValueError("--vocab train needs sequence frames to sample")
+        import jax.numpy as jnp
+
+        from ..kernels import orb
+
+        descs = []
+        for i, gray in enumerate(sample_grays):
+            if i >= 10:
+                break
+            f = orb.extract(jnp.asarray(gray, jnp.float32), n_features=cfg.orb.n_features)
+            descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+        voc = vb.train_kmeans(np.concatenate(descs), n_words=cfg.caps.vocab_words)
+        return voc, cfg
+    voc = vb.load_flat_vocabulary(name)
+    if voc.n_words != cfg.caps.vocab_words:
+        cfg = cfg.replace(caps=dataclasses.replace(cfg.caps, vocab_words=voc.n_words))
+    return voc, cfg
+
+
+def make_tracker(args, cam: Camera, cfg: SlamConfig, sample_grays=None) -> Tracker:
     if getattr(args, "max_kf_gap", 0):
         import dataclasses
 
@@ -95,12 +140,13 @@ def make_tracker(args, cam: Camera, cfg: SlamConfig) -> Tracker:
                 cfg.tracking, max_frames_between_kf=args.max_kf_gap
             )
         )
+    vocab, cfg = build_vocab(args, cfg, sample_grays)
     if args.resume:
         from ..io.checkpoint import load_tracker
 
-        tracker = load_tracker(args.resume, cam, cfg)
+        tracker = load_tracker(args.resume, cam, cfg, vocab=vocab)
     else:
-        tracker = Tracker(cam, cfg)
+        tracker = Tracker(cam, cfg, vocab=vocab)
     if getattr(args, "localization_only", False):
         tracker.set_localization_mode(True)
     return tracker

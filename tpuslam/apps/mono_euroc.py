@@ -25,7 +25,7 @@ def main(argv=None):
     ds = EurocDataset(args.folder, max_frames=args.max_frames)
     gt = ds.gt_poses()
     cfg = common.apply_features(cfg, args.features)
-    tracker = common.make_tracker(args, cam, cfg)
+    tracker = common.make_tracker(args, cam, cfg, sample_grays=(it.gray for it in ds.frames()))
     prof = Profiler()
     ft = common.run_loop(tracker, ds.frames(), "mono", prof, args=args)
     report = common.finish(tracker, args, ft, gt=gt, metric=False)

@@ -49,7 +49,7 @@ def main(argv=None):
     ds = IclDataset(args.folder, max_frames=args.max_frames)
     gt = ds.gt_poses() if os.path.exists(os.path.join(args.folder, ds.truth_file)) else None
 
-    tracker = common.make_tracker(args, cam, cfg)
+    tracker = common.make_tracker(args, cam, cfg, sample_grays=(it.gray for it in ds.frames()))
     prof = Profiler()
 
     def per_frame(item):

@@ -43,7 +43,7 @@ def main(argv=None):
     gt = ds.gt_poses() if os.path.exists(os.path.join(args.folder, ds.truth_file)) else None
 
     cfg = common.apply_features(cfg, args.features)
-    tracker = common.make_tracker(args, cam, cfg)
+    tracker = common.make_tracker(args, cam, cfg, sample_grays=(it.gray for it in ds.frames()))
     prof = Profiler()
 
     def per_frame(item):

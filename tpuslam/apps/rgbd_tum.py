@@ -41,7 +41,7 @@ def main(argv=None):
             gt = IclDataset(args.folder).gt_poses()
 
     cfg = common.apply_features(cfg, args.features)
-    tracker = common.make_tracker(args, cam, cfg)
+    tracker = common.make_tracker(args, cam, cfg, sample_grays=(it.gray for it in ds.frames()))
     prof = Profiler()
 
     def per_frame(item):

@@ -72,16 +72,22 @@ def main(argv=None):
     ap.add_argument("--localization-only", action="store_true",
                     help="freeze the map and only localize against it")
     ap.add_argument("--save-kitti", action="store_true")
+    ap.add_argument("--vocab", default="",
+                    help="ORBvoc .txt/.bin vocabulary path ('train' is not "
+                    "available in streaming mode — frames arrive online)")
     args = ap.parse_args(argv)
 
     cam = Camera.make(args.fx, args.fy, args.cx, args.cy, bf=args.bf)
     cfg = apply_features(SlamConfig().replace(sensor=args.sensor), args.features or 1024)
+    from .common import build_vocab
+
+    vocab, cfg = build_vocab(args, cfg)
     if args.resume:
         from ..io.checkpoint import load_tracker
 
-        tracker = load_tracker(args.resume, cam, cfg)
+        tracker = load_tracker(args.resume, cam, cfg, vocab=vocab)
     else:
-        tracker = Tracker(cam, cfg)
+        tracker = Tracker(cam, cfg, vocab=vocab)
     if args.localization_only:
         tracker.set_localization_mode(True)
 

@@ -3,17 +3,24 @@
 Mirrors Tracking::Relocalization (Tracking.cc:1663-1824): BoW candidate
 keyframes from the database, descriptor matching against each candidate's
 bound map points (>= 15 matches), RANSAC PnP, then motion-only pose
-optimization requiring >= 50 inliers.
+optimization requiring >= 50 inliers — with the reference's widened
+re-search rounds when the first optimization lands short (Tracking.cc:
+1762-1801): a coarse SearchByProjection (th=10 window, TH_HIGH=100) binds
+additional candidate-KF points at the estimated pose and re-optimizes; if
+that lands between 30 and 50 inliers, a final narrow round (th=3, distance
+64) decides.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..core import geometry as geo
 from ..graph import lm
 from ..kernels import match as km
 from ..map import mapstate as ms
@@ -21,11 +28,58 @@ from ..place import vocab as vb
 from .pnp import ransac_pnp
 
 
+@functools.partial(jax.jit, static_argnames=("radius", "max_dist"))
+def research_by_projection(m: ms.MapState, frame, cand, T_est, kp_pt, cam,
+                           radius: float = 10.0, max_dist: float = 100.0):
+    """Widened SearchByProjection round (ORBmatcher.cc:1472 reloc variant):
+    project the candidate keyframe's bound map points at the current pose
+    estimate, bind additional free keypoints within ``radius * s^octave``,
+    and re-run motion-only pose optimization.
+
+    Returns (T_opt, kp_pt_out, n_inliers)."""
+    N = frame.uv.shape[0]
+    P = m.pt_pos.shape[0]
+    cand_pt = m.kf_pt[cand]
+    has = (cand_pt >= 0) & m.kf_kp_valid[cand] & m.pt_valid[jnp.clip(cand_pt, 0)]
+    X = m.pt_pos[jnp.clip(cand_pt, 0)]
+    pc = geo.se3_apply(T_est, X)
+    uv_pred = jnp.stack(
+        [
+            cam.fx * pc[:, 0] / jnp.maximum(pc[:, 2], 1e-6) + cam.cx,
+            cam.fy * pc[:, 1] / jnp.maximum(pc[:, 2], 1e-6) + cam.cy,
+        ],
+        axis=-1,
+    )
+    # points already bound to a keypoint must not double-bind
+    already = jnp.zeros((P + 1,), bool).at[jnp.where(kp_pt >= 0, kp_pt, P)].set(True)[:P]
+    vis = has & (pc[:, 2] > 0) & ~already[jnp.clip(cand_pt, 0)]
+    radius_row = radius * 1.2 ** m.kf_octave[cand].astype(jnp.float32)
+    gate = km.window_gate(uv_pred, frame.uv, radius_row)
+    idx, dist, ok = km.match_descriptors(
+        m.pt_desc[jnp.clip(cand_pt, 0)], frame.desc, vis, frame.valid & (kp_pt < 0),
+        gate_mask=gate, max_dist=max_dist,
+    )
+    tgt = jnp.where(ok, idx, N)
+    add = jnp.concatenate([jnp.full((N,), -1, jnp.int32), jnp.zeros(1, jnp.int32)]).at[tgt].set(
+        jnp.where(ok, cand_pt, -1)
+    )[:N]
+    kp2 = jnp.where(kp_pt >= 0, kp_pt, add)
+    X_all = m.pt_pos[jnp.clip(kp2, 0)]
+    inv_s2 = 1.0 / (1.2 ** (2.0 * frame.octave.astype(jnp.float32)))
+    T_opt, inl, n_in = lm.optimize_pose(
+        T_est, X_all, frame.uv, inv_s2, kp2 >= 0, cam.fx, cam.fy, cam.cx, cam.cy,
+        ur=frame.ur, bf=cam.bf,
+    )
+    kp_out = jnp.where((kp2 >= 0) & inl, kp2, -1)
+    return T_opt, kp_out, n_in
+
+
 def relocalize(m: ms.MapState, frame, cam, vocab: vb.Vocabulary, cfg, n_kf: int):
     """Returns (T_cw, kp_pt, n_inliers) or None."""
     bow = vb.bow_vector(vocab, frame.desc, frame.valid)
     scores = np.array(vb.bow_scores(bow, m.kf_bow, m.kf_valid))
     order = np.argsort(-scores)[: min(5, n_kf)]
+    reloc_min = cfg.tracking.reloc_min_inliers
     for cand in order:
         if scores[cand] <= 0:
             break
@@ -50,7 +104,22 @@ def relocalize(m: ms.MapState, frame, cam, vocab: vb.Vocabulary, cfg, n_kf: int)
             res.T_cw, X, frame.uv, inv_s2, ok & (pt_ids >= 0),
             cam.fx, cam.fy, cam.cx, cam.cy,
         )
-        if int(n_in) >= cfg.tracking.reloc_min_inliers:
-            kp_pt = jnp.where((pt_ids >= 0) & inl, pt_ids, -1)
-            return T_opt, kp_pt, int(n_in)
+        n_in = int(n_in)
+        kp_pt = jnp.where((pt_ids >= 0) & inl, pt_ids, -1)
+        if 10 <= n_in < reloc_min:
+            # coarse re-search at the estimated pose (Tracking.cc:1762-1786)
+            T_opt, kp_pt, n_in = research_by_projection(
+                m, frame, jnp.int32(cand), T_opt, kp_pt, cam,
+                radius=10.0, max_dist=100.0,
+            )
+            n_in = int(n_in)
+            if 30 < n_in < reloc_min:
+                # final narrow round (Tracking.cc:1787-1801)
+                T_opt, kp_pt, n_in = research_by_projection(
+                    m, frame, jnp.int32(cand), T_opt, kp_pt, cam,
+                    radius=3.0, max_dist=64.0,
+                )
+                n_in = int(n_in)
+        if n_in >= reloc_min:
+            return T_opt, kp_pt, n_in
     return None

@@ -307,15 +307,24 @@ class Tracker:
     OK = 1
     LOST = 2
 
-    def __init__(self, cam: Camera, cfg: SlamConfig):
+    def __init__(self, cam: Camera, cfg: SlamConfig, vocab=None):
+        """``vocab``: optional place-recognition codebook (place/vocab.py
+        Vocabulary) — a loaded ORBvoc (load_flat_vocabulary), a trained one
+        (train_kmeans), or None for the seeded-LSH default.  Its word count
+        must equal cfg.caps.vocab_words (the kf_bow pad width)."""
         from ..place.loop import LoopCloser
         from ..place.vocab import random_vocabulary
 
         self.cam = cam
         self.cfg = cfg
         self.map = ms.empty_map(cfg.caps)
+        if vocab is not None and vocab.n_words != cfg.caps.vocab_words:
+            raise ValueError(
+                f"vocabulary has {vocab.n_words} words but caps.vocab_words="
+                f"{cfg.caps.vocab_words}; adjust caps to match"
+            )
         self.loop_closer = (
-            LoopCloser(random_vocabulary(cfg.caps.vocab_words), cam, cfg)
+            LoopCloser(vocab or random_vocabulary(cfg.caps.vocab_words), cam, cfg)
             if cfg.flags.enable_loop_closing
             else None
         )

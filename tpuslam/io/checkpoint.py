@@ -64,7 +64,7 @@ def save_tracker(path: str, tracker) -> None:
     save_map(path, tracker.map, extra=extra)
 
 
-def load_tracker(path: str, cam, cfg):
+def load_tracker(path: str, cam, cfg, vocab=None):
     """Restore a Tracker from a checkpoint.
 
     The restored tracker resumes in the LOST state when it was mid-sequence
@@ -75,7 +75,7 @@ def load_tracker(path: str, cam, cfg):
     from ..frontend.tracking import Tracker
 
     m, extra = load_map(path)
-    tracker = Tracker(cam, cfg)
+    tracker = Tracker(cam, cfg, vocab=vocab)
     tracker.map = m
     tracker.n_kf = extra["n_kf"]
     tracker.n_pt = extra["n_pt"]

@@ -44,6 +44,28 @@ def random_vocabulary(n_words: int = 1024, seed: int = 7) -> Vocabulary:
     return Vocabulary(centers_pm1=jnp.asarray(centers))
 
 
+def from_packed_words(word_desc_u32) -> Vocabulary:
+    """Build the flat MXU codebook from packed 256-bit word centroids
+    ((W, 8) uint32) — e.g. the leaf centroids of a DBoW2 ORBvoc tree."""
+    bits = unpack_descriptor_bits(jnp.asarray(word_desc_u32)) * 2.0 - 1.0
+    return Vocabulary(centers_pm1=bits)
+
+
+def load_flat_vocabulary(path: str) -> Vocabulary:
+    """Load a DBoW2 ORBvoc text/binary file (place/dbow_compat.py) and
+    flatten its LEAF centroids into the flat codebook: word assignment
+    becomes an exact nearest-centroid argmax on the MXU instead of the
+    tree's greedy descent (the tree is an approximate NN over the same
+    leaves, so the flat argmax can only improve recall)."""
+    from .dbow_compat import load_vocabulary
+
+    tv = load_vocabulary(path)
+    words = np.asarray(tv.node_word)
+    leaves = np.where(words >= 0)[0]
+    order = leaves[np.argsort(words[leaves])]  # word-id order
+    return from_packed_words(np.asarray(tv.node_desc)[order])
+
+
 def train_kmeans(descriptors_u32, n_words: int = 1024, n_iters: int = 8, seed: int = 7) -> Vocabulary:
     """Binary k-means (majority-vote centroids) on packed descriptors."""
     bits = unpack_descriptor_bits(jnp.asarray(descriptors_u32)) * 2.0 - 1.0  # (N, 256) ±1
