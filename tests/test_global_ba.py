@@ -26,6 +26,7 @@ def build(seed=0, pose_noise=0.03):
         max_keypoints=NKP, max_keyframes=NKF, max_points=2048,
         max_planes=4, max_cuboids=2, vocab_words=16,
         global_ba_keyframes=16, global_ba_points=256,
+        local_ba_keyframes=8, local_ba_fixed_keyframes=8, local_ba_points=2048,
     )
     cfg = SlamConfig(caps=caps)
     pts = rng.uniform([-4, -3, 4], [4, 3, 12], (NPT, 3)).astype(np.float32)

@@ -1,0 +1,48 @@
+"""Multi-process jax.distributed smoke test (SURVEY.md §5 multi-host story):
+two OS processes, one CPU device each, joined into a global 2-device mesh by
+the distributed runtime — the same code path a real multi-host TPU pod uses
+over DCN.  Runs a cross-process allgather and one distributed-LM step with
+factor shards living on different processes (see _multiproc_worker.py)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_multiproc_worker.py")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_lm():
+    coord = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own single-device flags
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, coord, str(pid), "2"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        assert "OK chi2=" in out, out[-2000:]

@@ -472,7 +472,18 @@ def run_global_ba(m: ms.MapState, cam, cfg, n_iters: int = 10, n_kf: int = 0):
         use_stereo=cfg.sensor in ("rgbd", "stereo"),
     )
     w = lm.BAWeights.from_config(cfg.ba)
-    state_opt, chi2s = _jitted_lm_iterations(pack.state, pack.data, w, n_iters)
+    n_dev = jax.device_count()
+    if cfg.flags.distributed_ba and n_dev > 1:
+        from ..dist.ba import (
+            default_mesh, distributed_lm_iterations, pad_factors_for_mesh,
+        )
+
+        data_p = pad_factors_for_mesh(pack.data, n_dev)
+        state_opt, chi2s = distributed_lm_iterations(
+            default_mesh(), pack.state, data_p, w, n_iters=n_iters
+        )
+    else:
+        state_opt, chi2s = _jitted_lm_iterations(pack.state, pack.data, w, n_iters)
     m = unpack_local_ba(
         m, pack, state_opt, pack.data, stereo_shared=cfg.sensor in ("rgbd", "stereo")
     )
@@ -515,13 +526,29 @@ def run_local_ba(m: ms.MapState, center_kf: int, cam, cfg):
         use_stereo=cfg.sensor in ("rgbd", "stereo"),
     )
     w = lm.BAWeights.from_config(cfg.ba)
-    state_opt, data_out, chi2s = lm.local_ba(
-        pack.state,
-        pack.data,
-        w,
-        phase1_iters=cfg.ba.local_ba_iters_phase1,
-        phase2_iters=cfg.ba.local_ba_iters_phase2,
-    )
+    n_dev = jax.device_count()
+    if cfg.flags.distributed_ba and n_dev > 1:
+        # production multi-device path: factors shard over the mesh, the
+        # normal-equation blocks all-reduce, the Schur solve is replicated
+        from ..dist.ba import (
+            default_mesh, distributed_local_ba, pad_factors_for_mesh, unpad_factors,
+        )
+
+        data_p = pad_factors_for_mesh(pack.data, n_dev)
+        state_opt, data_out_p, chi2s = distributed_local_ba(
+            default_mesh(), pack.state, data_p, w,
+            phase1_iters=cfg.ba.local_ba_iters_phase1,
+            phase2_iters=cfg.ba.local_ba_iters_phase2,
+        )
+        data_out = unpad_factors(data_out_p, pack.data)
+    else:
+        state_opt, data_out, chi2s = lm.local_ba(
+            pack.state,
+            pack.data,
+            w,
+            phase1_iters=cfg.ba.local_ba_iters_phase1,
+            phase2_iters=cfg.ba.local_ba_iters_phase2,
+        )
     m = unpack_local_ba(
         m, pack, state_opt, data_out, stereo_shared=cfg.sensor in ("rgbd", "stereo")
     )

@@ -186,6 +186,12 @@ class FeatureFlags:
     enable_ground_height_scale: bool = False
     build_worldframe_on_ground: bool = False
     enable_loop_closing: bool = True
+    # Use the factor-sharded multi-device BA (dist/ba.py) for local/global
+    # BA whenever more than one device is visible: assembly shards over the
+    # mesh, normal-equation blocks all-reduce over ICI, the Schur solve is
+    # replicated.  The reference has no distributed story (SURVEY §2.3);
+    # this is the TPU-native scaling path.
+    distributed_ba: bool = True
 
 
 @dataclass(frozen=True)

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -91,26 +93,18 @@ def pad_factors_for_mesh(data: lm.BAData, n_devices: int) -> lm.BAData:
     )
 
 
-def distributed_lm_iterations(mesh: Mesh, state: lm.BAState, data: lm.BAData, w: lm.BAWeights, n_iters: int = 5, lam0: float = 1e-4):
-    """LM iterations with factor-sharded assembly and psum'd normal equations.
+@functools.lru_cache(maxsize=32)
+def _make_dist_lm(mesh: Mesh, w: lm.BAWeights, n_iters: int, lam0: float):
+    """Build (and cache) the jitted factor-sharded LM program for a mesh.
 
-    ``data`` factor bundles must have leading dims divisible by the mesh size
-    (use :func:`pad_factors_for_mesh`).  Returns (state, chi2_history).
-    """
-    free_c = lm._free_mask(state, data)
-    point_active = data.point_active.astype(jnp.float32)
-
+    The cache keys on (mesh, weights, iters): production callers hit the
+    same compiled executable every keyframe instead of re-tracing."""
     data_spec = _shard_factors_spec()
-    state_spec = jax.tree.map(lambda _: P(), state)
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(state_spec, data_spec),
-        out_specs=(state_spec, P()),
-        check_vma=False,
-    )
     def run(state, data_shard):
+        free_c = lm._free_mask(state, data_shard)
+        point_active = data_shard.point_active.astype(jnp.float32)
+
         def body(carry, _):
             st, lam = carry
             H_cc, H_cl, H_ll, b_c, b_l, chi2_part = lm.build_system(st, data_shard, w)
@@ -134,7 +128,70 @@ def distributed_lm_iterations(mesh: Mesh, state: lm.BAState, data: lm.BAData, w:
         (state, _), chi2s = jax.lax.scan(body, (state, jnp.float32(lam0)), None, length=n_iters)
         return state, chi2s
 
-    return jax.jit(run)(state, data)
+    sharded = shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(lm.BAState(*([P()] * 5)), data_spec),
+        out_specs=(lm.BAState(*([P()] * 5)), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def distributed_lm_iterations(mesh: Mesh, state: lm.BAState, data: lm.BAData, w: lm.BAWeights, n_iters: int = 5, lam0: float = 1e-4):
+    """LM iterations with factor-sharded assembly and psum'd normal equations.
+
+    ``data`` factor bundles must have leading dims divisible by the mesh size
+    (use :func:`pad_factors_for_mesh`).  Returns (state, chi2_history).
+    """
+    return _make_dist_lm(mesh, w, n_iters, float(lam0))(state, data)
+
+
+_jitted_gate = jax.jit(lm.gate_observations)
+
+
+def distributed_local_ba(mesh: Mesh, state: lm.BAState, data: lm.BAData, w: lm.BAWeights, phase1_iters: int = 5, phase2_iters: int = 10):
+    """Two-phase local BA on the mesh — the distributed twin of
+    ``lm.local_ba`` (optimize, per-type chi2 outlier cut, optimize, final
+    cut).  The gating pass is replicated (it is a masked residual
+    evaluation, tiny next to assembly).  Returns (state, data, chi2s)."""
+    state, _ = distributed_lm_iterations(mesh, state, data, w, phase1_iters)
+    data = _jitted_gate(state, data, w)
+    state, chi2s = distributed_lm_iterations(mesh, state, data, w, phase2_iters)
+    data = _jitted_gate(state, data, w)
+    return state, data, chi2s
+
+
+_DEFAULT_MESH = None
+
+
+def default_mesh() -> Mesh:
+    """Process-wide 1-D mesh over all local devices (axis "dp")."""
+    global _DEFAULT_MESH
+    if _DEFAULT_MESH is None or len(_DEFAULT_MESH.devices.ravel()) != len(jax.devices()):
+        _DEFAULT_MESH = Mesh(np.asarray(jax.devices()), axis_names=("dp",))
+    return _DEFAULT_MESH
+
+
+def unpad_factors(data_padded: lm.BAData, data_orig: lm.BAData) -> lm.BAData:
+    """Slice every factor bundle back to ``data_orig``'s leading dims (the
+    inverse of :func:`pad_factors_for_mesh`, for unpack paths that index by
+    the original factor layout)."""
+
+    def cut(b_pad, b_orig):
+        n = b_orig[0].shape[0]
+        return type(b_pad)(*[a[:n] for a in b_pad])
+
+    return data_padded._replace(
+        mono=cut(data_padded.mono, data_orig.mono),
+        stereo=cut(data_padded.stereo, data_orig.stereo),
+        plane_obs=cut(data_padded.plane_obs, data_orig.plane_obs),
+        cub_bbox=cut(data_padded.cub_bbox, data_orig.cub_bbox),
+        cub_corner=cut(data_padded.cub_corner, data_orig.cub_corner),
+        cub_se3=cut(data_padded.cub_se3, data_orig.cub_se3),
+        pt_cub=cut(data_padded.pt_cub, data_orig.pt_cub),
+        cub_plane=cut(data_padded.cub_plane, data_orig.cub_plane),
+    )
 
 
 def pad_edges_for_mesh(edges: Sim3Edges, n_devices: int) -> Sim3Edges:
