@@ -1,24 +1,44 @@
-"""Benchmark: full per-frame tracking pipeline on real TPU hardware.
+"""Benchmark: tracking hot path, local-BA solver stage, MFU accounting, and
+golden-trajectory replay — all on real TPU hardware.
 
-Measures the SURVEY §3.2 hot path end-to-end per frame — ORB extraction
-(pyramid, FAST, cell top-k, IC-angle, BRIEF), projection-gated MXU Hamming
-matching against the local map, and motion-only pose optimization (LM) — as
-a device-resident ``lax.scan`` over a sequence of real images, i.e. ONE
-dispatch for the whole sequence.  This is the same work the reference counts
-in its "time single frame" profiler section (mono_icl_test.cc:83,124), minus
-host I/O.
+Four measurements (VERDICT r02 item 1 — the evidence harness):
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is relative to 30 frames/s — the ORB-SLAM2-class real-time
-CPU tracking rate the reference inherits (README.md:59 citation; the repo
-publishes no numbers of its own, BASELINE.md).
+1. ``tracking_fps`` — the SURVEY §3.2 per-frame hot path (ORB pyramid/FAST/
+   BRIEF, projection-gated MXU Hamming matching, motion-only pose LM) as a
+   device-resident ``lax.scan`` over 64 real images: ONE dispatch for the
+   whole sequence.  Matches the reference's "time single frame" section
+   (mono_icl_test.cc:83,124) minus host I/O.
+2. ``local_ba_iters_s`` — heterogeneous local-BA LM iterations/s on a
+   realistic window (16 opt + 16 fixed KFs, 4096 points, 8 planes, 8
+   cuboids, every factor type of Optimizer::LocalBACameraPlaneCuboids,
+   Optimizer.cc:1994-2967), timing ``lm.lm_iterations`` device-resident.
+3. ``mfu`` / ``tracking_mfu`` — XLA-counted FLOPs of the compiled programs
+   (``compiled.cost_analysis()``) divided by measured runtime and the
+   chip's peak dense-bf16 FLOP/s.  SLAM is small-matmul + gather heavy, so
+   these are honestly low — the point is to make "speed of light" a
+   number, not a slogan (BASELINE.json: "BA and matching kernels must hit
+   speed-of-light per chip").
+4. ``ate_rmse_m`` — golden-trajectory replay: the reference's only
+   validation method (README.md:33-41, mono_icl_test.cc:139-151).  A
+   560-frame synthetic ICL-style loop sequence with offline plane/cuboid
+   txt fixtures (tpuslam/io/synth.py) is replayed through the REAL
+   ``apps.mono_icl`` CLI path with all semantic flags on; ATE RMSE is
+   computed against GT odom.txt with scale alignment (mono).
 
-NOTE: each timed rep perturbs the input images on device — the axon tunnel
-memoizes executions with identical arguments, which would otherwise inflate
-the number ~60x.
+Prints ONE JSON line.  ``vs_baseline`` is tracking_fps relative to 30
+frames/s — stated assumption, see ``baseline_assumption`` in the output and
+BASELINE.md: the reference repo publishes no numbers and cannot run here
+(no dataset, CPU-era C++ deps), so the ORB-SLAM2-class real-time rate the
+reference inherits (README.md:59) is the denominator.
+
+NOTE: each timed rep perturbs the device inputs — the axon tunnel memoizes
+executions with identical arguments, which would otherwise inflate numbers.
 """
 
+import contextlib
+import io
 import json
+import os
 import time
 
 import numpy as np
@@ -27,6 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from tpuslam.core import geometry as geo
+from tpuslam.core.camera import Camera
 from tpuslam.graph import lm
 from tpuslam.kernels import match as km
 from tpuslam.kernels import orb
@@ -41,6 +62,49 @@ FX = FY = 500.0
 CX, CY = 320.0, 240.0
 Z_WALL = 5.0
 PX_STEP = 3  # lateral image shift per frame
+
+BASELINE_FPS = 30.0
+BASELINE_NOTE = (
+    "assumed 30 frames/s ORB-SLAM2-class real-time CPU tracking "
+    "(reference README.md:59 citation; repo publishes no numbers and "
+    "cannot run in this environment — BASELINE.md)"
+)
+
+# peak dense-bf16 FLOP/s per chip, by device_kind substring
+_PEAK_FLOPS = [
+    ("v6", 918e12),
+    ("v5p", 459e12),
+    ("v5 lite", 197e12),
+    ("v5e", 197e12),
+    ("v5", 459e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 45e12),
+]
+
+
+def peak_flops():
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, val in _PEAK_FLOPS:
+        if sub in kind:
+            return val, kind
+    return 197e12, kind + " (unknown; assumed v5e-class)"
+
+
+def compiled_flops(compiled):
+    """XLA's FLOP estimate for a compiled executable (0.0 if unavailable)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+# ---------------------------------------------------------------------------
+# 1. tracking hot path
+# ---------------------------------------------------------------------------
 
 
 def build_workload(seed=0):
@@ -95,9 +159,11 @@ def track_sequence(frames, pts, pt_desc, pt_valid, T0):
     return traj, n_ins
 
 
-def main():
+def bench_tracking(out):
     frames, pts, pt_desc, pt_valid, T0 = build_workload()
-    # warm up + compile
+    lowered = track_sequence.lower(frames, pts, pt_desc, pt_valid, T0)
+    compiled = lowered.compile()
+    flops = compiled_flops(compiled)
     traj, n_ins = track_sequence(frames, pts, pt_desc, pt_valid, T0)
     jax.block_until_ready(traj)
     # timed runs: sequential with a block per rep and the MEDIAN taken —
@@ -125,16 +191,211 @@ def main():
     assert abs(x_last - x_expect) < 0.15 * x_expect + 0.02, (
         f"trajectory wrong: {x_last} vs {x_expect}"
     )
-    print(
-        json.dumps(
-            {
-                "metric": "tracking_fps",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / 30.0, 2),
-            }
-        )
+    peak, kind = peak_flops()
+    out["tracking_fps"] = round(fps, 2)
+    out["tracking_mfu"] = round(flops / dt / peak, 5) if flops else None
+    out["device_kind"] = kind
+
+
+# ---------------------------------------------------------------------------
+# 2. heterogeneous local-BA stage
+# ---------------------------------------------------------------------------
+
+BA_K, BA_N, BA_P, BA_Q, BA_C = 32, 1024, 4096, 8, 8  # 16 opt + 16 fixed KFs
+BA_ITERS = 30
+
+
+def build_ba_window(seed=0):
+    """A realistic LocalBACameraPlaneCuboids window: the factor-slot layout
+    matches backend/local_ba.pack_local_ba (K*N mono slots, K*Q plane slots,
+    K*C cuboid slots, C point-in-cuboid bundles)."""
+    rng = np.random.RandomState(seed)
+    pts = np.stack(
+        [rng.uniform(-3, 3, BA_P), rng.uniform(-2, 2, BA_P), rng.uniform(4, 10, BA_P)],
+        axis=-1,
+    ).astype(np.float32)
+    poses = []
+    for i in range(BA_K):
+        w = jnp.asarray([0.01 * i, 0.02 * i, 0.005 * i], jnp.float32)
+        t = jnp.asarray([0.15 * i, 0.03 * i, 0.05 * i], jnp.float32)
+        poses.append(geo.se3_inv(geo.se3_from_Rt(geo.so3_exp(w), t)))
+    poses = jnp.stack(poses)
+    pts_j = jnp.asarray(pts)
+
+    # mono factors: K*N slots, each KF observes N random points
+    kf_idx = np.repeat(np.arange(BA_K, dtype=np.int32), BA_N)
+    pt_idx = np.stack([rng.choice(BA_P, BA_N, replace=False) for _ in range(BA_K)]).reshape(-1)
+    pc = jax.vmap(geo.se3_apply)(poses[kf_idx.reshape(BA_K, BA_N)], pts_j[pt_idx.reshape(BA_K, BA_N)])
+    pc = pc.reshape(-1, 3)
+    uv = jnp.stack(
+        [FX * pc[:, 0] / pc[:, 2] + CX, FY * pc[:, 1] / pc[:, 2] + CY], axis=-1
+    ) + jnp.asarray(rng.normal(0, 0.5, (BA_K * BA_N, 2)), jnp.float32)
+    octave = rng.randint(0, 8, BA_K * BA_N)
+    mono = lm.MonoFactors(
+        kf=jnp.asarray(kf_idx),
+        pt=jnp.asarray(pt_idx, jnp.int32),
+        uv=uv,
+        inv_sigma2=jnp.asarray(1.0 / (1.2 ** (2.0 * octave)), jnp.float32),
+        valid=jnp.asarray(pc[:, 2] > 0.5),
     )
+
+    # planes (Hessian form, world) + per-(kf, slot) observations
+    n_raw = rng.normal(size=(BA_Q, 3)).astype(np.float32)
+    n_raw /= np.linalg.norm(n_raw, axis=-1, keepdims=True)
+    planes_w = jnp.asarray(np.concatenate([n_raw, rng.uniform(1, 4, (BA_Q, 1)).astype(np.float32)], -1))
+    kf_q = np.repeat(np.arange(BA_K, dtype=np.int32), BA_Q)
+    q_idx = np.tile(np.arange(BA_Q, dtype=np.int32), BA_K)
+    meas = jax.vmap(geo.plane_transform)(poses[kf_q], planes_w[q_idx])
+    plane_obs = lm.PlaneFactors(
+        kf=jnp.asarray(kf_q),
+        plane=jnp.asarray(q_idx),
+        meas=meas,
+        kind=jnp.asarray(np.where(q_idx < 6, 0, np.where(q_idx == 6, 1, 2)), jnp.int32),
+        valid=jnp.asarray(rng.uniform(size=BA_K * BA_Q) < 0.6),
+    )
+
+    # cuboids + bbox/corner observations
+    cub_pose = jnp.stack(
+        [geo.se3_from_Rt(geo.so3_exp(jnp.asarray([0, 0, 0.4 * i], jnp.float32)),
+                         jnp.asarray([0.5 * i - 2.0, 0.3 * i - 1.0, 6.0], jnp.float32))
+         for i in range(BA_C)]
+    )
+    cub_scale = jnp.asarray(rng.uniform(0.2, 0.6, (BA_C, 3)), jnp.float32)
+    kf_c = np.repeat(np.arange(BA_K, dtype=np.int32), BA_C)
+    c_idx = np.tile(np.arange(BA_C, dtype=np.int32), BA_K)
+    Kmat = jnp.asarray([[FX, 0, CX], [0, FY, CY], [0, 0, 1]], jnp.float32)
+    bbox = jax.vmap(lambda p, s, T: geo.cuboid_project_bbox(p, s, T, Kmat))(
+        cub_pose[c_idx], cub_scale[c_idx], poses[kf_c]
+    )
+    corners = jax.vmap(lambda p, s, T: geo.cuboid_project_corners(p, s, T, Kmat))(
+        cub_pose[c_idx], cub_scale[c_idx], poses[kf_c]
+    ).reshape(-1, 16)
+    cub_valid = jnp.asarray(rng.uniform(size=BA_K * BA_C) < 0.5)
+    cub_bbox = lm.CuboidBBoxFactors(
+        kf=jnp.asarray(kf_c), cub=jnp.asarray(c_idx), bbox=bbox,
+        weight=jnp.full(BA_K * BA_C, 0.7), valid=cub_valid,
+    )
+    cub_corner = lm.CuboidCornerFactors(
+        kf=jnp.asarray(kf_c), cub=jnp.asarray(c_idx), corners=corners,
+        weight=jnp.full(BA_K * BA_C, 0.7), valid=cub_valid,
+    )
+    pt_cub = lm.PointCuboidFactors(
+        cub=jnp.arange(BA_C, dtype=jnp.int32),
+        pts=jnp.asarray(rng.randint(0, BA_P, (BA_C, 64)), jnp.int32),
+        pts_mask=jnp.ones((BA_C, 64), jnp.float32),
+        weight=jnp.ones(BA_C, jnp.float32),
+        valid=jnp.ones(BA_C, bool),
+    )
+    cub_plane = lm.CuboidPlaneFactors(
+        cub=jnp.arange(BA_C, dtype=jnp.int32),
+        plane=jnp.asarray(np.arange(BA_C) % 6, jnp.int32),
+        face=jnp.asarray(rng.randint(0, 6, BA_C), jnp.int32),
+        valid=jnp.ones(BA_C, bool),
+    )
+
+    # perturb the optimizable variables (the solver's actual work)
+    kp = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(kp, 3)
+    dpose = jax.random.normal(k1, (BA_K, 6)) * 0.01
+    dpose = dpose.at[16:].set(0.0).at[0].set(0.0)
+    poses_bad = jax.vmap(lambda T, d: geo.se3_exp(d) @ T)(poses, dpose)
+    state = lm.BAState(
+        poses=poses_bad,
+        points=pts_j + jax.random.normal(k2, (BA_P, 3)) * 0.03,
+        planes=planes_w,
+        cuboid_pose=cub_pose,
+        cuboid_scale=cub_scale,
+    )
+    cam = Camera.make(FX, FY, CX, CY)
+    data = lm.make_ba_data(
+        BA_K, BA_P, BA_Q, BA_C, cam,
+        mono=mono, plane_obs=plane_obs, cub_bbox=cub_bbox,
+        cub_corner=cub_corner, pt_cub=pt_cub, cub_plane=cub_plane,
+        pose_fixed=(jnp.arange(BA_K) >= 16) | (jnp.arange(BA_K) == 0),
+        plane_active=jnp.ones(BA_Q, bool),
+        cuboid_active=jnp.ones(BA_C, bool),
+    )
+    return state, data
+
+
+def bench_local_ba(out):
+    state, data = build_ba_window()
+    w = lm.BAWeights()
+    fn = jax.jit(lm.lm_iterations, static_argnames=("n_iters",))
+    lowered = fn.lower(state, data, w, n_iters=BA_ITERS)
+    compiled = lowered.compile()
+    flops = compiled_flops(compiled)
+    s_opt, chi2s = fn(state, data, w, n_iters=BA_ITERS)
+    jax.block_until_ready(chi2s)
+    assert float(chi2s[-1]) < float(chi2s[0]), "BA bench did not reduce chi2"
+    times = []
+    for i in range(7):
+        st = state._replace(points=state.points + jnp.float32(1e-5 * (i + 1)))
+        _ = float(jnp.sum(st.points))  # materialize before the clock
+        t0 = time.perf_counter()
+        s_opt, chi2s = fn(st, data, w, n_iters=BA_ITERS)
+        _ = float(chi2s[-1])
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    peak, _ = peak_flops()
+    out["local_ba_iters_s"] = round(BA_ITERS / dt, 2)
+    out["local_ba_solve_ms"] = round(dt * 1e3, 2)
+    out["mfu"] = round(flops / dt / peak, 5) if flops else None
+
+
+# ---------------------------------------------------------------------------
+# 3. golden replay (ATE)
+# ---------------------------------------------------------------------------
+
+
+def bench_golden(out):
+    n_frames = int(os.environ.get("TPUSLAM_BENCH_GOLDEN_FRAMES", "560"))
+    if n_frames <= 0:
+        return
+    from tpuslam.io import synth
+
+    folder = os.environ.get("TPUSLAM_GOLDEN_DIR", "/tmp/tpuslam_golden")
+    synth.write_sequence(folder, n_frames=n_frames, total_angle_deg=400.0)
+    from tpuslam.apps import mono_icl
+
+    buf = io.StringIO()
+    t0 = time.perf_counter()
+    with contextlib.redirect_stdout(buf):  # keep our stdout to ONE JSON line
+        report = mono_icl.main([
+            folder, "--planes", "--objects", "--out",
+            os.path.join(folder, "out_bench"),
+        ])
+    out["ate_rmse_m"] = round(report["ate_rmse_m"], 4) if report.get("ate_rmse_m") else None
+    out["golden_frames"] = n_frames
+    out["golden_tracked"] = report.get("tracked")
+    out["golden_keyframes"] = report.get("keyframes")
+    out["golden_planes"] = report.get("planes")
+    out["golden_cuboids"] = report.get("cuboids")
+    out["golden_wall_s"] = round(time.perf_counter() - t0, 1)
+
+
+def main():
+    out = {}
+    failures = {}
+    for name, fn in (("tracking", bench_tracking),
+                     ("local_ba", bench_local_ba),
+                     ("golden", bench_golden)):
+        try:
+            fn(out)
+        except Exception as e:  # keep the single JSON line coming no matter what
+            failures[name] = f"{type(e).__name__}: {e}"
+    fps = out.get("tracking_fps", 0.0)
+    result = {
+        "metric": "tracking_fps",
+        "value": fps,
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 2) if fps else 0.0,
+        "baseline_assumption": BASELINE_NOTE,
+        **{k: v for k, v in out.items() if k != "tracking_fps"},
+    }
+    if failures:
+        result["errors"] = failures
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -132,11 +132,47 @@ def read_obj_detection_txt(path: str):
     return names, np.asarray(vals, np.float64)
 
 
+def _np_euler_zyx_to_R(roll, pitch, yaw):
+    """Numpy twin of geo.euler_zyx_to_R (Rz(yaw) Ry(pitch) Rx(roll))."""
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    return np.array(
+        [
+            [cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr],
+            [sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr],
+            [-sp, cp * sr, cp * cr],
+        ],
+        np.float32,
+    )
+
+
+def _np_project_corners(pose_g, scale_g, Tcw, K):
+    """(8, 2) pixel corners of a cuboid (geo.cuboid_project_corners twin)."""
+    sx, sy, sz = scale_g
+    # corner order matches geo._CORNER_SIGNS (g2o_cuboid.h:200-204)
+    signs = np.array(
+        [[1, 1, -1], [1, -1, -1], [-1, -1, -1], [-1, 1, -1],
+         [1, 1, 1], [1, -1, 1], [-1, -1, 1], [-1, 1, 1]], np.float32)
+    corners_o = signs * np.array([sx, sy, sz], np.float32)
+    cw = corners_o @ pose_g[:3, :3].T + pose_g[:3, 3]
+    cc = cw @ Tcw[:3, :3].T + Tcw[:3, 3]
+    z = np.maximum(cc[:, 2], 1e-6)
+    return np.stack(
+        [K[0, 0] * cc[:, 0] / z + K[0, 2], K[1, 1] * cc[:, 1] / z + K[1, 2]],
+        axis=-1,
+    ).astype(np.float32)
+
+
 def read_offline_cuboids(path: str, truth_Twc: np.ndarray, K: np.ndarray, cap: int) -> CuboidDetections:
     """Read per-frame global cuboids and convert to camera-frame measurements
     with the GT camera pose (Tracking.cc:2004-2060).
 
     ``truth_Twc``: (4, 4) camera-to-world GT pose of this frame.
+
+    All math is host-side numpy on purpose: this is per-frame detector I/O
+    (a handful of 4x4 products), and dispatching it op-by-op to the device
+    costs hundreds of ms/frame in transport latency alone.
     """
     if not os.path.exists(path):
         return CuboidDetections.empty(cap)
@@ -145,23 +181,32 @@ def read_offline_cuboids(path: str, truth_Twc: np.ndarray, K: np.ndarray, cap: i
     if rows.size == 0:
         return det
     n = min(len(rows), cap)
-    Twc = jnp.asarray(truth_Twc, jnp.float32)
-    Tcw = geo.se3_inv(Twc)
-    Kj = jnp.asarray(K, jnp.float32)
+    Twc = np.asarray(truth_Twc, np.float32)
+    Tcw = np.eye(4, dtype=np.float32)
+    Tcw[:3, :3] = Twc[:3, :3].T
+    Tcw[:3, 3] = -Twc[:3, :3].T @ Twc[:3, 3]
+    Kn = np.asarray(K, np.float32)
     lp, ls, gp, gs, bb, cc, ci, vv = (
         np.array(det.local_pose), np.array(det.local_scale), np.array(det.global_pose),
         np.array(det.global_scale), np.array(det.bbox), np.array(det.corners),
         np.array(det.classid), np.array(det.valid),
     )
     for i in range(n):
-        v9 = jnp.asarray(rows[i, -9:], jnp.float32)
-        pose_g, scale_g = geo.cuboid_from_minimal(v9)
+        v9 = rows[i, -9:].astype(np.float32)
+        pose_g = np.eye(4, dtype=np.float32)
+        pose_g[:3, :3] = _np_euler_zyx_to_R(v9[3], v9[4], v9[5])
+        pose_g[:3, 3] = v9[:3]
+        scale_g = v9[6:9]
         pose_l = Tcw @ pose_g  # transform_to(Twc) (g2o_cuboid.h:134-140)
-        bbox = geo.cuboid_project_bbox(pose_g, scale_g, Tcw, Kj)
-        corners = geo.cuboid_project_corners(pose_g, scale_g, Tcw, Kj).reshape(16)
-        lp[i], ls[i] = np.array(pose_l), np.array(scale_g)
-        gp[i], gs[i] = np.array(pose_g), np.array(scale_g)
-        bb[i], cc[i] = np.array(bbox), np.array(corners)
+        corners = _np_project_corners(pose_g, scale_g, Tcw, Kn)
+        lo, hi = corners.min(axis=0), corners.max(axis=0)
+        bbox = np.array(
+            [(lo[0] + hi[0]) / 2, (lo[1] + hi[1]) / 2, hi[0] - lo[0], hi[1] - lo[1]],
+            np.float32,
+        )
+        lp[i], ls[i] = pose_l, scale_g
+        gp[i], gs[i] = pose_g, scale_g
+        bb[i], cc[i] = bbox, corners.reshape(16)
         ci[i] = classname_to_id(names[i])
         vv[i] = True
     return CuboidDetections(
