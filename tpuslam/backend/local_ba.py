@@ -17,6 +17,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..core import geometry as geo
 from ..graph import lm
 from ..map import mapstate as ms
 
@@ -308,7 +309,9 @@ def unpack_local_ba(m: ms.MapState, pack: LocalBAPack, state_opt: lm.BAState, da
     writable = pack.window_mask & ~data_out.pose_fixed
     kf_slots = jnp.where(writable, pack.window_ids, K)
     kf_pose = jnp.concatenate([m.kf_pose, m.kf_pose[:1]], axis=0)
-    kf_pose = kf_pose.at[kf_slots].set(state_opt.poses)[:K]
+    # renormalize on write-back: repeated BA passes must not let float32
+    # rotation drift accumulate in the stored poses (geometry.se3_renorm)
+    kf_pose = kf_pose.at[kf_slots].set(geo.se3_renorm(state_opt.poses))[:K]
 
     pt_slots = jnp.where(pack.point_mask, pack.point_ids, P)
     pt_pos = jnp.concatenate([m.pt_pos, m.pt_pos[:1]], axis=0)

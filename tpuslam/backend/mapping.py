@@ -31,8 +31,10 @@ class TriangulationResult(NamedTuple):
 
 
 def fundamental_between(T1, T2, K):
-    """F12 such that x2^T F12 x1 = 0 (LocalMapping::ComputeF12,
-    LocalMapping.cc:576-593)."""
+    """F12 such that x1^T F12 x2 = 0, i.e. the epipolar line of a view-1
+    point in image 2 is F12^T x1 (LocalMapping::ComputeF12,
+    LocalMapping.cc:576-593; same convention as CheckDistEpipolarLine,
+    ORBmatcher.cc:640-654)."""
     T12 = T1 @ geo.se3_inv(T2)  # frame2 -> frame1 (camera coords)
     # NOTE: ORB-SLAM2 computes F12 with R12 = R1 R2^T, t12 = -R12 t2 + t1
     R12 = T12[:3, :3]
@@ -61,10 +63,30 @@ def create_new_map_points(
     # baseline check vs scene depth is the caller's job (host has medianDepth)
     F12 = fundamental_between(T1, T2, K)
     sigma2 = scale_factor ** (2.0 * m.kf_octave[kf2].astype(jnp.float32))
-    gate = km.epipolar_gate(m.kf_uv[kf1], m.kf_uv[kf2], F12.T, jnp.sqrt(sigma2))
+    # NOTE the argument is F12 itself: epipolar_gate builds the line in image
+    # 2 as F^T x1, matching fundamental_between's x1^T F12 x2 = 0 convention
+    # (a .T here silently voids the gate — wrong lines admit only the
+    # near-zero-baseline pairs where the gate is vacuous)
+    gate = km.epipolar_gate(m.kf_uv[kf1], m.kf_uv[kf2], F12, jnp.sqrt(sigma2))
     gate = gate & km.octave_gate(m.kf_octave[kf1], m.kf_octave[kf2], -2, 2)
+    # epipole-distance gate (SearchForTriangulation, ORBmatcher.cc:688-700):
+    # a kf2 keypoint within 10*scale px of kf1's camera center projected into
+    # kf2 has ~zero parallax along the dominant (forward) motion direction —
+    # such "matches" are the main source of behind-camera triangulations
+    c1w = -T1[:3, :3].T @ T1[:3, 3]
+    c_in2 = T2[:3, :3] @ c1w + T2[:3, 3]
+    safe_z = jnp.where(jnp.abs(c_in2[2]) < 1e-6, 1e-6, c_in2[2])
+    ep = jnp.stack([K[0, 0] * c_in2[0] / safe_z + K[0, 2],
+                    K[1, 1] * c_in2[1] / safe_z + K[1, 2]])
+    dist_ep2 = jnp.sum((m.kf_uv[kf2] - ep[None, :]) ** 2, axis=-1)
+    scale2 = scale_factor ** m.kf_octave[kf2].astype(jnp.float32)
+    far_from_epipole = dist_ep2 >= 100.0 * scale2
+    # behind-camera epipoles (c_in2.z < 0) never project into the image
+    far_from_epipole = far_from_epipole | (c_in2[2] < 0)
+    gate = gate & far_from_epipole[None, :]
     idx, dist, ok = km.match_descriptors(
-        m.kf_desc[kf1], m.kf_desc[kf2], free1, free2, gate_mask=gate, max_dist=50.0, ratio=0.8
+        m.kf_desc[kf1], m.kf_desc[kf2], free1, free2, gate_mask=gate,
+        max_dist=50.0, ratio=0.8, mutual=True,
     )
     ok = km.rotation_consistency(m.kf_angle[kf1], m.kf_angle[kf2], idx, ok)
     # mutual best in the gated sense
@@ -185,14 +207,21 @@ def fuse_duplicates(m: ms.MapState, kf, K):
 
 @jax.jit
 def point_cull_mask(m: ms.MapState, newest_kf):
-    """Mark bad points (MapPointCulling, LocalMapping.cc:207-242):
-    found/visible ratio < 0.25, or too few observations a few KFs after
-    creation."""
+    """Mark bad points (MapPointCulling, LocalMapping.cc:207-242).
+
+    The reference culls only RECENTLY CREATED points: candidates live in
+    ``mlpRecentAddedMapPoints`` and are erased from it (kept forever) once
+    they are 3 keyframes old (LocalMapping.cc:236-238).  Both rules —
+    found/visible ratio < 0.25 and too few observers at age >= 2 — therefore
+    apply only while age <= 3.  Applying the ratio rule to the whole map
+    (as a naive batching would) mass-culls mature points whenever tracking
+    quality dips, collapsing the map."""
     obs_count = ms.point_obs_counts(m)
     ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(m.pt_visible, 1).astype(jnp.float32)
     age = newest_kf - m.pt_first_kf
-    bad = m.pt_valid & (
+    recent = age <= 3
+    bad = m.pt_valid & recent & (
         (ratio < 0.25)
-        | ((age >= 2) & (obs_count <= 2) & (age <= 4))
+        | ((age >= 2) & (obs_count <= 2))
     )
     return bad

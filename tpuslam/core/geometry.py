@@ -178,6 +178,27 @@ def se3_inv(T):
     return se3_from_Rt(Rt, -jnp.einsum("...ij,...j->...i", Rt, t))
 
 
+def se3_renorm(T):
+    """Project the rotation block back onto SO(3) (row-wise Gram-Schmidt).
+
+    Monocular reprojection is invariant to a uniform scaling of [R|t], so a
+    det(R) != 1 drift is INVISIBLE to pose optimization — and the velocity
+    model T_pred = (T_t inv(T_{t-1})) T_t amplifies any such drift
+    exponentially (log-det obeys an unstable second-order recurrence) until
+    the pose matrix collapses.  g2o never hits this because SE3Quat stores
+    rotations as unit quaternions (Thirdparty/g2o se3quat.h); this is the
+    matrix-form equivalent, applied wherever a pose enters an optimizer."""
+    R = se3_R(T)
+    r0 = R[..., 0, :]
+    r0 = r0 / (jnp.linalg.norm(r0, axis=-1, keepdims=True) + 1e-12)
+    r1 = R[..., 1, :]
+    r1 = r1 - jnp.sum(r0 * r1, axis=-1, keepdims=True) * r0
+    r1 = r1 / (jnp.linalg.norm(r1, axis=-1, keepdims=True) + 1e-12)
+    r2 = jnp.cross(r0, r1)
+    Rn = jnp.stack([r0, r1, r2], axis=-2)
+    return se3_from_Rt(Rn, se3_t(T))
+
+
 def se3_apply(T, p):
     """Transform points ``p`` (..., 3) by ``T`` (..., 4, 4)."""
     return jnp.einsum("...ij,...j->...i", se3_R(T), p) + se3_t(T)

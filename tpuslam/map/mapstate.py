@@ -174,6 +174,22 @@ def point_obs_counts(m: MapState):
     return jnp.sum(incidence(m) > 0, axis=0).astype(jnp.int32)
 
 
+@jax.jit
+def scene_median_depth(m: MapState, kf):
+    """Median depth of keyframe ``kf``'s tracked points in its camera frame
+    (KeyFrame::ComputeSceneMedianDepth(2), KeyFrame.cc:630-663) — feeds the
+    baseline/medianDepth triangulation precondition (LocalMapping.cc:288-296).
+    Returns +inf when the keyframe tracks no valid points."""
+    row = m.kf_pt[kf]
+    has = (row >= 0) & m.kf_kp_valid[kf] & m.pt_valid[jnp.clip(row, 0)]
+    X = m.pt_pos[jnp.clip(row, 0)]
+    T = m.kf_pose[kf]
+    z = X @ T[2, :3] + T[2, 3]
+    z = jnp.where(has, z, jnp.nan)
+    med = jnp.nanmedian(z)
+    return jnp.where(jnp.isnan(med), jnp.inf, med)
+
+
 def local_window(m: MapState, center_kf: int, max_kfs: int, min_weight: float = 15.0):
     """Covisibility window around ``center_kf``: top ``max_kfs`` neighbours
     by shared points (weight >= min_weight, KeyFrame.cc:289-350 edge rule).
