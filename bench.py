@@ -365,13 +365,31 @@ def bench_golden(out):
             folder, "--planes", "--objects", "--out",
             os.path.join(folder, "out_bench"),
         ])
-    out["ate_rmse_m"] = round(report["ate_rmse_m"], 4) if report.get("ate_rmse_m") else None
+    wall = time.perf_counter() - t0
+    tracked = report.get("tracked") or 0
+    frac = tracked / float(n_frames)
     out["golden_frames"] = n_frames
-    out["golden_tracked"] = report.get("tracked")
+    out["golden_tracked"] = tracked
+    out["golden_tracked_frac"] = round(frac, 3)
     out["golden_keyframes"] = report.get("keyframes")
     out["golden_planes"] = report.get("planes")
     out["golden_cuboids"] = report.get("cuboids")
-    out["golden_wall_s"] = round(time.perf_counter() - t0, 1)
+    out["golden_loops"] = report.get("loops")
+    out["golden_wall_s"] = round(wall, 1)
+    out["golden_e2e_fps"] = round(n_frames / wall, 2)
+    out["golden_median_frame_ms"] = (
+        round(1e3 * report["median_frame_s"], 1) if report.get("median_frame_s") else None
+    )
+    # Honesty gate (VERDICT r03 weak #1): an ATE computed over a mostly-LOST
+    # run is not a result.  Mirror the reference's implicit gate — its
+    # validation is that mono_icl_test completes the dataset
+    # (mono_icl_test.cc:101-151) — by refusing to report ATE when less than
+    # 90% of frames tracked, and flagging the run as failed instead.
+    if frac >= 0.9:
+        out["ate_rmse_m"] = round(report["ate_rmse_m"], 4) if report.get("ate_rmse_m") else None
+    else:
+        out["ate_rmse_m"] = None
+        out["golden_failed"] = f"tracked {tracked}/{n_frames} < 90%; ATE withheld"
 
 
 def main():

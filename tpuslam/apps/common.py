@@ -240,9 +240,10 @@ def finish(tracker: Tracker, args, frame_times, gt=None, stamps_by_fid=None, met
         "frames": len(ft),
         "tracked": len(tracker.trajectory),
         "keyframes": tracker.n_kf,
-        "points": tracker.n_pt,
+        "points": tracker.live_points(),
         "planes": tracker.n_plane,
         "cuboids": tracker.n_cub,
+        "loops": tracker.n_loops,
         "median_frame_s": float(np.median(ft)) if len(ft) else None,
         "mean_frame_s": float(ft.mean()) if len(ft) else None,
     }

@@ -43,6 +43,11 @@ def main(argv=None):
         optimize_with_corners_2d=bool(vals.get("optimize_with_corners_2d", 0)),
         optimize_with_pt_obj_3d=bool(vals.get("optimize_with_pt_obj_3d", 0)),
         optimize_with_cuboid_plane=bool(vals.get("optimize_with_cuboid_plane", 0)),
+        # metric plane measurements only cohere with a mono map after a metric
+        # scale anchor (reference: enable_ground_height_scale + Camera.height,
+        # Tracking.cc:271-281; here the anchor is estimated from the plane
+        # detections themselves, frontend/tracking._update_metric_scale)
+        enable_ground_height_scale=args.planes,
     )
     cfg = SlamConfig().replace(sensor="mono", flags=flags)
     cfg = common.apply_features(cfg, args.features)

@@ -138,6 +138,47 @@ def create_new_map_points(
     return TriangulationResult(pos=pts, kp1=jnp.arange(N, dtype=jnp.int32), kp2=idx, ok=good)
 
 
+@functools.partial(jax.jit, static_argnames=("scale_factor", "mono"))
+def triangulate_with_neighbors(
+    m: ms.MapState, kf1, nb_ids, nb_mask, K, min_baseline,
+    scale_factor: float = 1.2, mono: bool = True,
+):
+    """CreateNewMapPoints against ALL covisible neighbours in ONE device
+    program (vmap over the neighbour lane) instead of one dispatch per
+    neighbour (VERDICT r03 task 4: the keyframe step was a chain of ~10
+    host-synced dispatches).
+
+    Per-lane gating mirrors LocalMapping.cc:276-296: mono requires
+    baseline/medianSceneDepth(nb) >= 0.01, stereo/RGBD requires the baseline
+    to exceed the rig baseline (``min_baseline``).  A keypoint that
+    triangulates in several lanes keeps only its best-covisibility lane
+    (lanes are ordered by weight; the reference avoids duplicates by
+    checking bindings between sequential searches).
+
+    Returns (pos (L, N, 3), kp2 (L, N), chosen (L, N) bool).
+    """
+    T1 = m.kf_pose[kf1]
+    C1 = -T1[:3, :3].T @ T1[:3, 3]
+
+    def per_nb(nb):
+        T2 = m.kf_pose[nb]
+        C2 = -T2[:3, :3].T @ T2[:3, 3]
+        base = jnp.linalg.norm(C1 - C2)
+        if mono:
+            med = ms.scene_median_depth(m, nb)
+            good_nb = (med > 0) & jnp.isfinite(med) & (base / jnp.maximum(med, 1e-9) >= 0.01)
+        else:
+            good_nb = base >= min_baseline
+        tri = create_new_map_points(m, kf1, nb, K, scale_factor=scale_factor)
+        return tri.pos, tri.kp2, tri.ok & good_nb
+
+    pos, kp2, ok = jax.vmap(per_nb)(nb_ids)
+    ok = ok & nb_mask[:, None]
+    lane = jnp.argmax(ok, axis=0)  # first True lane = best covisibility
+    chosen = ok & (jnp.arange(ok.shape[0])[:, None] == lane[None, :])
+    return pos, kp2, chosen
+
+
 @functools.partial(jax.jit, static_argnames=("radius",))
 def fuse_into_keyframe(m: ms.MapState, kf, K, src_mask=None, radius: float = 3.0):
     """Project the map points selected by ``src_mask`` into keyframe ``kf``

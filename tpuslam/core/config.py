@@ -56,6 +56,13 @@ class TrackingConfig:
     search_radius_localmap: float = 6.0
     min_frames_between_kf: int = 0
     max_frames_between_kf: int = 30  # == fps
+    # Reference c1b gates c2-insertion on LocalMapping being IDLE
+    # (Tracking.cc:1259-1266); at 30 fps its mapping step occupies ~2-3
+    # frames, so the real system cannot insert on consecutive frames.  The
+    # synchronous pipeline has no busy flag — this models it: c2 insertion
+    # is allowed only ``mapping_busy_frames`` frames after the last KF
+    # (the c1a cadence still forces insertion regardless).
+    mapping_busy_frames: int = 2
     reloc_min_inliers: int = 50  # Relocalization accept (Tracking.cc:1805)
     # KeyFrame culling (LocalMapping::KeyFrameCulling, LocalMapping.cc:672-736):
     # a local keyframe is dropped when >= kf_cull_redundancy of its points are

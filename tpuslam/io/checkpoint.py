@@ -83,8 +83,8 @@ def load_tracker(path: str, cam, cfg, vocab=None):
     tracker.n_cub = extra["n_cub"]
     tracker.ref_kf = extra["ref_kf"]
     tracker.frames_since_kf = extra["frames_since_kf"]
-    tracker.T_cur = jnp.asarray(np.array(extra["T_cur"], np.float32))
-    tracker.velocity = jnp.asarray(np.array(extra["velocity"], np.float32))
+    tracker.T_cur = np.array(extra["T_cur"], np.float32)
+    tracker.velocity = np.array(extra["velocity"], np.float32)
     tracker.trajectory = [
         (fid, np.array(T, np.float32)) for fid, T in extra["trajectory"]
     ]

@@ -256,6 +256,17 @@ def assign_observations(m: MapState, kf_slot, kp_idx, pt_ids, ok):
     return m._replace(kf_pt=m.kf_pt.at[kf_slot].set(row))
 
 
+def assign_observations_flat(m: MapState, kf_rows, kp_idx, pt_ids, ok):
+    """Batched feature->point binding across MANY keyframes in one scatter:
+    kf_pt[kf_rows[i], kp_idx[i]] = pt_ids[i] where ok[i].  All args flat and
+    same length; out-of-range writes are dropped."""
+    K, N = m.kf_pt.shape
+    flat_idx = jnp.where(ok, kf_rows * N + kp_idx, K * N)
+    flat = jnp.concatenate([m.kf_pt.reshape(-1), jnp.zeros(1, jnp.int32)])
+    flat = flat.at[flat_idx].set(pt_ids)[:-1]
+    return m._replace(kf_pt=flat.reshape(K, N))
+
+
 def cull_points(m: MapState, kill_mask):
     """Mark points invalid and unlink them from every keyframe."""
     kill_of_obs = jnp.where(m.kf_pt >= 0, kill_mask[jnp.clip(m.kf_pt, 0)], False)

@@ -58,14 +58,18 @@ class LoopCloser:
         # previous consistent groups: list of (covisibility mask (K,), streak)
         # — LoopClosing::mvConsistentGroups (LoopClosing.cc:152-211)
         self.prev_groups: list = []
-        self.last_loop_kf = -1000
+        self.last_loop_fid = -1000  # FRAME id of the last closed loop
         self.n_loops_closed = 0
 
     def on_keyframe(self, m: ms.MapState, kf_slot: int, n_kf: int):
         """Returns (map, loop_closed: bool)."""
         cfg = self.cfg
         m, bow = vb.update_kf_bow(self.vocab, m, kf_slot)
-        if n_kf < 10 or kf_slot - self.last_loop_kf < 10:
+        fids = np.asarray(m.kf_frame_id)
+        cur_fid = int(fids[kf_slot])
+        # temporal gates use FRAME ids, not slot ids: keyframe slots are
+        # reused after culling, so slot order is not temporal order
+        if n_kf < 10 or cur_fid - self.last_loop_fid < 10:
             return m, False
 
         cov = np.array(ms.covisibility(m))
@@ -78,11 +82,13 @@ class LoopCloser:
             return m, False
         min_score = float(scores[covisible].min())
         K = scores.shape[0]
-        pool = (
-            ~covisible
-            & kf_valid
-            & (np.arange(K) < kf_slot - 10)  # temporally distant
-        )
+        # temporally distant = at least 10 keyframes older in FRAME-id order
+        # (slot numbers are not temporal once the slot freelist reuses holes)
+        valid_sorted = np.flatnonzero(kf_valid)
+        valid_sorted = valid_sorted[np.argsort(fids[valid_sorted])]
+        rank = np.full(K, 1 << 30)
+        rank[valid_sorted] = np.arange(len(valid_sorted))
+        pool = ~covisible & kf_valid & (rank < rank[kf_slot] - 10)
         pool[kf_slot] = False
 
         # shared-word gating (KeyFrameDatabase::DetectLoopCandidates):
@@ -144,7 +150,7 @@ class LoopCloser:
                 continue
             S_cl, loop_pts = res
             m = self._correct_loop(m, kf_slot, loop_kf, S_cl, loop_pts, n_kf)
-            self.last_loop_kf = kf_slot
+            self.last_loop_fid = cur_fid
             self.prev_groups = []
             self.n_loops_closed += 1
             return m, True
@@ -277,12 +283,17 @@ class LoopCloser:
         #    fixed (Optimizer::OptimizeEssentialGraph, Optimizer.cc:789-1052)
         strong = np.array((cov_np >= self.cfg.loop.essential_graph_min_feat))
         # temporal chain edges (spanning-tree analogue) + strong covisibility
-        # edges + the loop edge, built with vectorized numpy (no O(K^2) loop)
-        a = np.arange(n_kf - 1)
-        chain_ok = kf_valid[a] & kf_valid[a + 1]
-        su = np.argwhere(np.triu(strong & kf_valid[:, None] & kf_valid[None, :], 2))
-        ii = np.concatenate([a[chain_ok], su[:, 0], [kf_loop]]).astype(np.int32)
-        jj = np.concatenate([a[chain_ok] + 1, su[:, 1], [kf_cur]]).astype(np.int32)
+        # edges + the loop edge, built with vectorized numpy (no O(K^2) loop).
+        # The chain follows FRAME-id order of the valid slots (slot numbers
+        # are not temporal once the keyframe-slot freelist reuses holes).
+        fids_np = np.asarray(m.kf_frame_id)
+        valid_slots = np.flatnonzero(kf_valid)
+        valid_slots = valid_slots[np.argsort(fids_np[valid_slots])]
+        ca, cb = valid_slots[:-1], valid_slots[1:]
+        off = ~np.eye(len(kf_valid), dtype=bool)
+        su = np.argwhere(np.triu(strong & kf_valid[:, None] & kf_valid[None, :] & off, 1))
+        ii = np.concatenate([ca, su[:, 0], [kf_loop]]).astype(np.int32)
+        jj = np.concatenate([cb, su[:, 1], [kf_cur]]).astype(np.int32)
         E = len(ii)
         ii = jnp.asarray(ii)
         jj = jnp.asarray(jj)
