@@ -486,7 +486,9 @@ def run_global_ba(m: ms.MapState, cam, cfg, n_iters: int = 10, n_kf: int = 0):
             default_mesh(), pack.state, data_p, w, n_iters=n_iters
         )
     else:
-        state_opt, chi2s = _jitted_lm_iterations(pack.state, pack.data, w, n_iters)
+        state_opt, chi2s = _jitted_lm_iterations(
+            pack.state, pack.data, w, n_iters, reproj_n=m.kf_pt.shape[1]
+        )
     m = unpack_local_ba(
         m, pack, state_opt, pack.data, stereo_shared=cfg.sensor in ("rgbd", "stereo")
     )
@@ -499,7 +501,7 @@ def run_global_ba(m: ms.MapState, cam, cfg, n_iters: int = 10, n_kf: int = 0):
     return m, chi2s
 
 
-_jitted_lm_iterations = jax.jit(lm.lm_iterations, static_argnames=("n_iters",))
+_jitted_lm_iterations = jax.jit(lm.lm_iterations, static_argnames=("n_iters", "reproj_n"))
 
 
 def run_local_ba(m: ms.MapState, center_kf: int, cam, cfg):
@@ -551,6 +553,7 @@ def run_local_ba(m: ms.MapState, center_kf: int, cam, cfg):
             w,
             phase1_iters=cfg.ba.local_ba_iters_phase1,
             phase2_iters=cfg.ba.local_ba_iters_phase2,
+            reproj_n=m.kf_pt.shape[1],
         )
     m = unpack_local_ba(
         m, pack, state_opt, data_out, stereo_shared=cfg.sensor in ("rgbd", "stereo")

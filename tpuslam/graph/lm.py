@@ -359,7 +359,61 @@ def _rho_sum(chi2, delta2, valid):
     return jnp.sum(jnp.where(valid & jnp.isfinite(rho), rho, 0.0))
 
 
-def build_system(state: BAState, data: BAData, w: BAWeights):
+
+def _assemble_reproj_blocked(H_cc, H_cl, H_ll, b_c, b_l, r, Jp, Jx, info, wf, pt, n_per_kf, K, P):
+    """Scatter-free normal-equation assembly for KF-MAJOR reprojection lanes.
+
+    When the factor bundle is packed as ``kf = repeat(arange(K), N)`` (how
+    pack_local_ba and the bench lay lanes out), every Hessian contribution has
+    a static home: pose blocks reduce over the N axis with no scatter, and
+    the per-point blocks (H_ll, b_l, H_cl) become one one-hot matmul per
+    keyframe (a keyframe observes each point at most once, so the one-hot is
+    a permutation — MXU work instead of the giant element scatter that
+    dominated the r03 BA profile at ~4.4 ms/iteration on a v5e).
+    """
+    F, R = r.shape
+    W = F // n_per_kf
+    rw = r.reshape(W, n_per_kf, R)
+    Jpw = Jp.reshape(W, n_per_kf, R, 6)
+    Jxw = Jx.reshape(W, n_per_kf, R, 3)
+    iw = (info * wf[:, None]).reshape(W, n_per_kf, R)
+    JpW = Jpw * iw[..., None]
+    JxW = Jxw * iw[..., None]
+    rows6 = 6 * jnp.arange(W)
+    H_cc = _add_cc(H_cc, rows6, rows6, jnp.einsum("wnri,wnrj->wij", JpW, Jpw))
+    b_c = _add_b(b_c, rows6, -jnp.einsum("wnri,wnr->wi", JpW, rw))
+    Hll_blk = jnp.einsum("wnri,wnrj->wnij", JxW, Jxw)  # (W, N, 3, 3)
+    bl_blk = -jnp.einsum("wnri,wnr->wni", JxW, rw)
+    cross = jnp.einsum("wnri,wnrj->wnij", JpW, Jxw)  # (W, N, 6, 3)
+    ptw = jnp.where(wf.reshape(W, n_per_kf) > 0, pt.reshape(W, n_per_kf), P)
+    arangeP = jnp.arange(P)
+    # one (P, N) x (N, 30) matmul per keyframe: [H_ll | b_l | H_cl] payloads
+    # ride the same one-hot so the MXU sees a single contraction
+    payload = jnp.concatenate(
+        [
+            Hll_blk.reshape(W, n_per_kf, 9),
+            bl_blk,
+            cross.reshape(W, n_per_kf, 18),
+        ],
+        axis=-1,
+    )  # (W, N, 30)
+
+    def body(carry, xs):
+        H_ll, b_l = carry
+        pt_n, pay_n = xs
+        oh = (pt_n[:, None] == arangeP[None, :]).astype(jnp.float32)  # (N, P)
+        out = jnp.einsum("np,nc->pc", oh, pay_n)  # (P, 30)
+        H_ll = H_ll + out[:, :9].reshape(P, 3, 3)
+        b_l = b_l + out[:, 9:12]
+        Hcl_w = out[:, 12:].reshape(P, 6, 3).transpose(1, 0, 2)  # (6, P, 3)
+        return (H_ll, b_l), Hcl_w
+
+    (H_ll, b_l), Hcl_stack = jax.lax.scan(body, (H_ll, b_l), (ptw, payload))
+    H_cl = H_cl.at[: 6 * W].add(Hcl_stack.reshape(6 * W, P, 3))
+    return H_cc, H_cl, H_ll, b_c, b_l
+
+
+def build_system(state: BAState, data: BAData, w: BAWeights, reproj_n: int = 0):
     """Assemble damped-less normal equations and total robust chi2.
 
     Returns (H_cc, H_cl, H_ll, b_c, b_l, chi2_total).
@@ -399,20 +453,23 @@ def build_system(state: BAState, data: BAData, w: BAWeights):
     w_rob = fac.huber_weight(chi2, w.chi2_mono)
     wf = w_rob * m.valid
     chi2_total += _rho_sum(chi2, w.chi2_mono, m.valid)
-    # pose block
-    JpW = Jp * (info * wf[:, None])[:, :, None]
-    H_cc = _add_cc(H_cc, pose_row(m.kf), pose_row(m.kf), jnp.einsum("fdi,fdj->fij", JpW, Jp))
-    b_c = _add_b(b_c, pose_row(m.kf), -jnp.einsum("fdi,fd->fi", JpW, r))
-    # point block
-    JxW = Jx * (info * wf[:, None])[:, :, None]
-    H_ll = H_ll.at[m.pt].add(jnp.einsum("fdi,fdj->fij", JxW, Jx))
-    b_l = b_l.at[m.pt].add(-jnp.einsum("fdi,fd->fi", JxW, r))
-    # cross block: (F, 6, 3) into H_cl[pose_row : +6, pt]
-    cross = jnp.einsum("fdi,fdj->fij", JpW, Jx)
-    rows = pose_row(m.kf)[:, None, None] + jnp.arange(6)[None, :, None]
-    pts = m.pt[:, None, None] * jnp.ones((1, 6, 3), jnp.int32)
-    cols3 = jnp.arange(3)[None, None, :] * jnp.ones((1, 6, 1), jnp.int32)
-    H_cl = H_cl.at[rows, pts, cols3].add(cross)
+    if reproj_n and m.kf.shape[0] % reproj_n == 0 and m.kf.shape[0] // reproj_n == K:
+        H_cc, H_cl, H_ll, b_c, b_l = _assemble_reproj_blocked(
+            H_cc, H_cl, H_ll, b_c, b_l, r, Jp, Jx, info, wf, m.pt, reproj_n, K, P
+        )
+    else:
+        # generic scatter path (arbitrary lane layout)
+        JpW = Jp * (info * wf[:, None])[:, :, None]
+        H_cc = _add_cc(H_cc, pose_row(m.kf), pose_row(m.kf), jnp.einsum("fdi,fdj->fij", JpW, Jp))
+        b_c = _add_b(b_c, pose_row(m.kf), -jnp.einsum("fdi,fd->fi", JpW, r))
+        JxW = Jx * (info * wf[:, None])[:, :, None]
+        H_ll = H_ll.at[m.pt].add(jnp.einsum("fdi,fdj->fij", JxW, Jx))
+        b_l = b_l.at[m.pt].add(-jnp.einsum("fdi,fd->fi", JxW, r))
+        cross = jnp.einsum("fdi,fdj->fij", JpW, Jx)
+        rows = pose_row(m.kf)[:, None, None] + jnp.arange(6)[None, :, None]
+        pts = m.pt[:, None, None] * jnp.ones((1, 6, 3), jnp.int32)
+        cols3 = jnp.arange(3)[None, None, :] * jnp.ones((1, 6, 1), jnp.int32)
+        H_cl = H_cl.at[rows, pts, cols3].add(cross)
 
     # ---- stereo reprojection ----------------------------------------------
     s = data.stereo
@@ -437,17 +494,22 @@ def build_system(state: BAState, data: BAData, w: BAWeights):
     w_rob = fac.huber_weight(chi2, w.chi2_stereo)
     wf = w_rob * s.valid
     chi2_total += _rho_sum(chi2, w.chi2_stereo, s.valid)
-    JpW = Jp * (info * wf[:, None])[:, :, None]
-    H_cc = _add_cc(H_cc, pose_row(s.kf), pose_row(s.kf), jnp.einsum("fdi,fdj->fij", JpW, Jp))
-    b_c = _add_b(b_c, pose_row(s.kf), -jnp.einsum("fdi,fd->fi", JpW, r))
-    JxW = Jx * (info * wf[:, None])[:, :, None]
-    H_ll = H_ll.at[s.pt].add(jnp.einsum("fdi,fdj->fij", JxW, Jx))
-    b_l = b_l.at[s.pt].add(-jnp.einsum("fdi,fd->fi", JxW, r))
-    cross = jnp.einsum("fdi,fdj->fij", JpW, Jx)
-    rows = pose_row(s.kf)[:, None, None] + jnp.arange(6)[None, :, None]
-    pts = s.pt[:, None, None] * jnp.ones((1, 6, 3), jnp.int32)
-    cols3 = jnp.arange(3)[None, None, :] * jnp.ones((1, 6, 1), jnp.int32)
-    H_cl = H_cl.at[rows, pts, cols3].add(cross)
+    if reproj_n and s.kf.shape[0] % reproj_n == 0 and s.kf.shape[0] // reproj_n == K:
+        H_cc, H_cl, H_ll, b_c, b_l = _assemble_reproj_blocked(
+            H_cc, H_cl, H_ll, b_c, b_l, r, Jp, Jx, info, wf, s.pt, reproj_n, K, P
+        )
+    else:
+        JpW = Jp * (info * wf[:, None])[:, :, None]
+        H_cc = _add_cc(H_cc, pose_row(s.kf), pose_row(s.kf), jnp.einsum("fdi,fdj->fij", JpW, Jp))
+        b_c = _add_b(b_c, pose_row(s.kf), -jnp.einsum("fdi,fd->fi", JpW, r))
+        JxW = Jx * (info * wf[:, None])[:, :, None]
+        H_ll = H_ll.at[s.pt].add(jnp.einsum("fdi,fdj->fij", JxW, Jx))
+        b_l = b_l.at[s.pt].add(-jnp.einsum("fdi,fd->fi", JxW, r))
+        cross = jnp.einsum("fdi,fdj->fij", JpW, Jx)
+        rows = pose_row(s.kf)[:, None, None] + jnp.arange(6)[None, :, None]
+        pts = s.pt[:, None, None] * jnp.ones((1, 6, 3), jnp.int32)
+        cols3 = jnp.arange(3)[None, None, :] * jnp.ones((1, 6, 1), jnp.int32)
+        H_cl = H_cl.at[rows, pts, cols3].add(cross)
 
     # ---- camera-plane (direct / vertical / parallel share one bundle) -----
     po = data.plane_obs
@@ -779,14 +841,18 @@ def _free_mask(state: BAState, data: BAData):
     return jnp.concatenate([pose_free, cub_free, plane_free])
 
 
-def lm_iterations(state: BAState, data: BAData, w: BAWeights, n_iters: int, lam0: float = 1e-4):
-    """Run ``n_iters`` LM iterations with accept/reject and adaptive damping."""
+def lm_iterations(state: BAState, data: BAData, w: BAWeights, n_iters: int, lam0: float = 1e-4,
+                  reproj_n: int = 0):
+    """Run ``n_iters`` LM iterations with accept/reject and adaptive damping.
+
+    ``reproj_n``: static lanes-per-keyframe of the mono/stereo bundles when
+    they are packed kf-major — enables the scatter-free blocked assembly."""
     free_c = _free_mask(state, data)
     point_active = data.point_active.astype(jnp.float32)
 
     def body(carry, _):
         st, lam = carry
-        H_cc, H_cl, H_ll, b_c, b_l, chi2_cur = build_system(st, data, w)
+        H_cc, H_cl, H_ll, b_c, b_l, chi2_cur = build_system(st, data, w, reproj_n=reproj_n)
         delta_c, delta_l = schur_solve(H_cc, H_cl, H_ll, b_c, b_l, lam, free_c, point_active)
         trial = retract_state(st, data, delta_c, delta_l)
         chi2_new = total_chi2(trial, data, w)
@@ -873,14 +939,15 @@ def gate_observations(state: BAState, data: BAData, w: BAWeights):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("phase1_iters", "phase2_iters"))
-def local_ba(state: BAState, data: BAData, w: BAWeights, phase1_iters: int = 5, phase2_iters: int = 10):
+@functools.partial(jax.jit, static_argnames=("phase1_iters", "phase2_iters", "reproj_n"))
+def local_ba(state: BAState, data: BAData, w: BAWeights, phase1_iters: int = 5, phase2_iters: int = 10,
+             reproj_n: int = 0):
     """Two-phase local BA mirroring LocalBundleAdjustment /
     LocalBACameraPlaneCuboids (Optimizer.cc:461-786, 1994-2967):
     optimize, cut outliers by per-type chi2, optimize again, final cut."""
-    state, _ = lm_iterations(state, data, w, phase1_iters)
+    state, _ = lm_iterations(state, data, w, phase1_iters, reproj_n=reproj_n)
     data = gate_observations(state, data, w)
-    state, chi2s = lm_iterations(state, data, w, phase2_iters)
+    state, chi2s = lm_iterations(state, data, w, phase2_iters, reproj_n=reproj_n)
     data = gate_observations(state, data, w)
     return state, data, chi2s
 

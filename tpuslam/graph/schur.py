@@ -72,14 +72,18 @@ def schur_solve(H_cc, H_cl, H_ll, b_c, b_l, lam, free_c, point_active):
     # LM damping on the reduced diagonal.
     H_cc_damped = H_cc + lam * jnp.diag(jnp.diag(H_cc)) + 1e-6 * jnp.eye(D, dtype=H_cc.dtype)
 
-    # Schur: S = Hcc - Hcl Hll^-1 Hlc ; rhs = bc - Hcl Hll^-1 bl
+    # Schur: S = Hcc - Hcl Hll^-1 Hlc ; rhs = bc - Hcl Hll^-1 bl.
+    # The (p, j) contraction is reshaped into ONE (D, 3P) x (3P, D) matmul so
+    # it lands on the MXU instead of a VPU-bound 3-deep einsum.
     tmp = jnp.einsum("dpi,pij->dpj", H_cl, Hll_inv)  # (D, P, 3)
-    S = H_cc_damped - jnp.einsum("dpj,epj->de", tmp, H_cl)
-    rhs = b_c - jnp.einsum("dpj,pj->d", tmp, b_l)
+    tmp2 = tmp.reshape(D, P * 3)
+    Hcl2 = H_cl.reshape(D, P * 3)
+    S = H_cc_damped - jnp.dot(tmp2, Hcl2.T, preferred_element_type=jnp.float32)
+    rhs = b_c - tmp2 @ b_l.reshape(P * 3)
 
     delta_c = jnp.linalg.solve(S, rhs) * free_c
 
     # Back-substitute points: dl = Hll^-1 (bl - Hlc dc)
-    Hlc_dc = jnp.einsum("dpi,d->pi", H_cl, delta_c)
+    Hlc_dc = (delta_c @ Hcl2).reshape(P, 3)
     delta_l = jnp.einsum("pij,pj->pi", Hll_inv, b_l - Hlc_dc) * point_active[:, None]
     return delta_c, delta_l
