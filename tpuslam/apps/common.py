@@ -56,11 +56,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "(headless Viewer/MapDrawer/FrameDrawer analogue)",
     )
     ap.add_argument(
-        "--vocab", default="",
+        "--vocab", default="train",
         help="place-recognition vocabulary: path to a DBoW2 ORBvoc .txt/.bin "
         "(the reference's System.cc:69-75 load, flattened onto the MXU "
-        "codebook), or 'train' to k-means a codebook from the sequence's own "
-        "ORB descriptors; default is a seeded random-LSH codebook",
+        "codebook), 'train' (default) to k-means a codebook from the "
+        "sequence's own ORB descriptors, or 'lsh' for the seeded random-LSH "
+        "codebook.  The reference always loads a trained ORBvoc "
+        "(mono_icl_test.cc:53-55) — loop/reloc recall with 'lsh' is poor",
     )
     return ap
 
@@ -106,7 +108,7 @@ def build_vocab(args, cfg: SlamConfig, sample_grays=None):
     import dataclasses
 
     name = getattr(args, "vocab", "")
-    if not name:
+    if not name or name == "lsh":
         return None, cfg
     from ..place import vocab as vb
 

@@ -74,15 +74,56 @@ def research_by_projection(m: ms.MapState, frame, cand, T_est, kp_pt, cam,
     return T_opt, kp_out, n_in
 
 
+def detect_reloc_candidates(m: ms.MapState, bow, max_candidates: int = 10):
+    """KeyFrameDatabase::DetectRelocalizationCandidates
+    (KeyFrameDatabase.cc:199-310): shared-word gating (candidates must share
+    > 0.8 * maxCommonWords with the query), then ACCUMULATED covisibility-
+    group scoring — each candidate's BoW score is summed with its top-10
+    covisible neighbours that are also candidates, groups below 0.75 * best
+    accumulated score are dropped, and each surviving group is represented
+    by its best-scoring member.  Unlike loop detection there is no temporal
+    or covisibility exclusion.  Returns candidate slot ids, best first."""
+    kf_valid = np.asarray(m.kf_valid)
+    if not kf_valid.any():
+        return []
+    scores = np.array(vb.bow_scores(bow, m.kf_bow, m.kf_valid))
+    pres_q = np.asarray(bow) > 0
+    pres_db = np.asarray(m.kf_bow) > 0
+    common = (pres_db & pres_q[None, :]).sum(axis=1).astype(np.float32)
+    common = np.where(kf_valid, common, 0.0)
+    if common.max() <= 0:
+        return []
+    pool = kf_valid & (common > 0.8 * common.max())
+    cand_idx = np.flatnonzero(pool)
+    if len(cand_idx) == 0:
+        return []
+    cov = np.array(ms.covisibility(m))
+    acc = np.empty(len(cand_idx), np.float32)
+    best_in_group = np.empty(len(cand_idx), np.int64)
+    best_score_in_group = np.empty(len(cand_idx), np.float32)
+    for n, c in enumerate(cand_idx):
+        nbrs = np.argsort(-cov[c])[:10]
+        group = np.concatenate([[c], nbrs[cov[c][nbrs] > 0]])
+        in_pool = pool[group]
+        gm = group[in_pool]
+        acc[n] = scores[gm].sum()
+        best_in_group[n] = gm[np.argmax(scores[gm])]
+        best_score_in_group[n] = scores[gm].max()
+    keep = acc > 0.75 * acc.max()
+    reps, order_keys = {}, {}
+    for n in np.flatnonzero(keep):
+        r = int(best_in_group[n])
+        order_keys[r] = max(order_keys.get(r, -1.0), float(acc[n]))
+    ranked = sorted(order_keys, key=lambda r: -order_keys[r])
+    return ranked[:max_candidates]
+
+
 def relocalize(m: ms.MapState, frame, cam, vocab: vb.Vocabulary, cfg, n_kf: int):
     """Returns (T_cw, kp_pt, n_inliers) or None."""
     bow = vb.bow_vector(vocab, frame.desc, frame.valid)
-    scores = np.array(vb.bow_scores(bow, m.kf_bow, m.kf_valid))
-    order = np.argsort(-scores)[: min(5, n_kf)]
+    order = detect_reloc_candidates(m, bow)
     reloc_min = cfg.tracking.reloc_min_inliers
     for cand in order:
-        if scores[cand] <= 0:
-            break
         cand = int(cand)
         has_pt = (m.kf_pt[cand] >= 0) & m.kf_kp_valid[cand]
         idx, dist, ok = km.match_descriptors(
