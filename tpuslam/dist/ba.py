@@ -150,6 +150,57 @@ def distributed_lm_iterations(mesh: Mesh, state: lm.BAState, data: lm.BAData, w:
 _jitted_gate = jax.jit(lm.gate_observations)
 
 
+def _to_global(x, mesh: Mesh, spec):
+    """Lift a (replicated) process-local array onto the multi-process mesh.
+
+    For sharded specs every process contributes its slice of the identical
+    replicated host array; for P() the local copy becomes the replica."""
+    from jax.experimental import multihost_utils
+
+    arr = np.asarray(x)
+    if spec != P():
+        n = arr.shape[0]
+        k = jax.process_count()
+        pid = jax.process_index()
+        arr = arr[pid * n // k : (pid + 1) * n // k]
+    return multihost_utils.host_local_array_to_global_array(arr, mesh, spec)
+
+
+def multihost_lm_iterations(mesh: Mesh, state: lm.BAState, data: lm.BAData,
+                            w: lm.BAWeights, n_iters: int):
+    """Factor-sharded LM where the mesh SPANS PROCESSES (multi-host): the
+    replicated process-local pack is lifted into global arrays (each process
+    contributes its factor slice), the psum rides the cross-process mesh,
+    and the replicated result is pulled back host-local.  Every process must
+    call this collectively with identical data (the pipeline replicates
+    deterministically).  Returns (state, chi2s) as host-local arrays."""
+    data_p = pad_factors_for_mesh(data, jax.device_count())
+    spec = _shard_factors_spec()
+    # align spec leaves with data leaves by structure (PartitionSpec is itself
+    # a tuple, so a naive two-tree map would flatten INTO the specs)
+    leaves, treedef = jax.tree.flatten(data_p)
+    spec_leaves = treedef.flatten_up_to(spec)
+    data_g = jax.tree.unflatten(
+        treedef, [_to_global(x, mesh, s) for x, s in zip(leaves, spec_leaves)]
+    )
+    state_g = jax.tree.map(lambda x: _to_global(x, mesh, P()), state)
+    state_out, chi2s = distributed_lm_iterations(mesh, state_g, data_g, w, n_iters)
+    host = lambda t: jax.tree.map(lambda x: np.asarray(jax.device_get(x)), t)
+    return host(state_out), host(chi2s)
+
+
+def multihost_local_ba(mesh: Mesh, state: lm.BAState, data: lm.BAData, w: lm.BAWeights,
+                       phase1_iters: int = 5, phase2_iters: int = 10):
+    """Two-phase local BA across processes: distributed solves on the global
+    mesh, outlier gating evaluated process-locally on the replicated pack
+    (gate_observations is a masked residual pass, tiny next to assembly)."""
+    state, _ = multihost_lm_iterations(mesh, state, data, w, phase1_iters)
+    data = _jitted_gate(lm.BAState(*[jnp.asarray(x) for x in state]), data, w)
+    state, chi2s = multihost_lm_iterations(mesh, state, data, w, phase2_iters)
+    data = _jitted_gate(lm.BAState(*[jnp.asarray(x) for x in state]), data, w)
+    return lm.BAState(*[jnp.asarray(x) for x in state]), data, chi2s
+
+
 def distributed_local_ba(mesh: Mesh, state: lm.BAState, data: lm.BAData, w: lm.BAWeights, phase1_iters: int = 5, phase2_iters: int = 10):
     """Two-phase local BA on the mesh — the distributed twin of
     ``lm.local_ba`` (optimize, per-type chi2 outlier cut, optimize, final
