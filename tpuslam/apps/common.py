@@ -156,13 +156,34 @@ def make_tracker(args, cam: Camera, cfg: SlamConfig, sample_grays=None) -> Track
 
 def run_loop(tracker: Tracker, items, sensor: str, prof: Profiler, per_frame=None, args=None):
     """Drive the tracker over a SequenceItem iterator.  ``per_frame`` may
-    return (plane_det, cuboid_det) for semantic keyframe input."""
+    return (plane_det, cuboid_det) for semantic keyframe input.
+
+    The NEXT frame's image is read and device_put'd (async) before the
+    current frame is processed, so disk IO and the host->device upload
+    overlap with device compute — on a tunnel-attached device the upload is
+    otherwise the largest per-frame cost."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
     frame_times = []
     viz_every = getattr(args, "viz_every", 0) if args is not None else 0
     viz_dir = os.path.join(getattr(args, "out", "."), "viz") if viz_every else ""
     if viz_dir:
         os.makedirs(viz_dir, exist_ok=True)
-    for item in items:
+
+    def prefetched(seq):
+        it = iter(seq)
+        cur = next(it, None)
+        while cur is not None:
+            nxt = next(it, None)
+            if nxt is not None:
+                nxt = dataclasses.replace(nxt, gray=jax.device_put(jnp.asarray(nxt.gray)))
+            yield cur
+            cur = nxt
+
+    for item in prefetched(items):
         t0 = time.perf_counter()
         pdet = cdet = None
         if per_frame is not None:

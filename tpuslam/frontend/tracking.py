@@ -287,8 +287,7 @@ class TrackStep(NamedTuple):
     scalars: jnp.ndarray  # (9,) int32 packed decision scalars (see order below)
 
 
-@functools.partial(jax.jit, static_argnames=("n_local", "n_local_kfs"))
-def track_and_decide(
+def _track_and_decide_body(
     m: ms.MapState,
     frame: Frame,
     T_cur,
@@ -357,6 +356,61 @@ def track_and_decide(
         ]
     )
     return TrackStep(T=T2, kp_pt=kp2, m=m, scalars=scalars)
+
+
+track_and_decide = functools.partial(
+    jax.jit, static_argnames=("n_local", "n_local_kfs")
+)(_track_and_decide_body)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_local", "n_local_kfs", "has_depth",
+        "n_features", "n_levels", "scale_factor", "ini_th", "min_th",
+    ),
+)
+def track_image_and_decide(
+    m: ms.MapState,
+    gray,
+    depth,
+    T_cur,
+    velocity,
+    last_kp_pt,
+    last_angle,
+    last_octave,
+    ref_kf,
+    cam: Camera,
+    radius_motion,
+    radius_localmap,
+    min_track_motion,
+    th_depth,
+    n_local: int = 4096,
+    n_local_kfs: int = 80,
+    has_depth: bool = False,
+    n_features: int = 1024,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
+    ini_th: int = 20,
+    min_th: int = 7,
+):
+    """track_and_decide with ORB extraction FUSED in: image in, pose +
+    bindings + decision scalars out — a tracked (non-keyframe) frame costs
+    exactly one dispatch and one scalar fetch on the device tunnel."""
+    feats = orb.extract(
+        gray.astype(jnp.float32), n_features=n_features, n_levels=n_levels,
+        scale_factor=scale_factor, ini_th=ini_th, min_th=min_th,
+    )
+    d = ur = None
+    if has_depth:
+        d, ur = sample_depth_at_keypoints(feats.uv, depth, cam.bf)
+    frame = frame_from_features(feats, cam, ur=ur, depth=d)
+    step = _track_and_decide_body(
+        m, frame, T_cur, velocity, last_kp_pt, last_angle, last_octave,
+        ref_kf, cam, radius_motion, radius_localmap, min_track_motion,
+        th_depth, n_local=n_local, n_local_kfs=n_local_kfs,
+    )
+    return step, frame
 
 
 @jax.jit
@@ -474,14 +528,42 @@ class Tracker:
     def process_image(self, gray, frame_id, depth=None, plane_det=None, cuboid_det=None):
         self._check_feature_caps()
         o = self.cfg.orb
-        feats = orb.extract(
-            jnp.asarray(gray, jnp.float32),
-            n_features=o.n_features,
-            n_levels=o.n_levels,
-            scale_factor=o.scale_factor,
-            ini_th=o.ini_th_fast,
+        kw = dict(
+            n_features=o.n_features, n_levels=o.n_levels,
+            scale_factor=o.scale_factor, ini_th=o.ini_th_fast,
             min_th=o.min_th_fast,
         )
+        # upload in the source dtype (uint8 stays uint8 — 4x less tunnel
+        # traffic); the jitted programs cast to float32 on device
+        gray_j = jnp.asarray(gray)
+        if self.state == self.OK:
+            # hot path: extraction fused into the tracking program — one
+            # dispatch, one scalar fetch per tracked frame
+            cfg = self.cfg
+            th_depth = cfg.depth_threshold * self.cam.bf / max(self.cam.fx, 1e-6)
+            has_depth = depth is not None
+            depth_j = (
+                jnp.asarray(depth, jnp.float32) if has_depth
+                else jnp.zeros((1, 1), jnp.float32)
+            )
+            out, frame = track_image_and_decide(
+                self.map, gray_j, depth_j, self.T_cur, self.velocity,
+                self.last_kp_pt, self.last_frame.angle, self.last_frame.octave,
+                jnp.int32(self.ref_kf), self.cam,
+                cfg.tracking.search_radius_motion,
+                cfg.tracking.search_radius_localmap,
+                cfg.tracking.min_track_motion,
+                th_depth,
+                n_local=cfg.caps.local_ba_points,
+                n_local_kfs=cfg.tracking.max_local_keyframes,
+                has_depth=has_depth,
+                **kw,
+            )
+            return self.process_frame(
+                frame, frame_id, plane_det=plane_det, cuboid_det=cuboid_det,
+                _prestep=out,
+            )
+        feats = orb.extract(gray_j.astype(jnp.float32), **kw)
         d = ur = None
         if depth is not None:
             d, ur = sample_depth_at_keypoints(feats.uv, jnp.asarray(depth, jnp.float32), self.cam.bf)
@@ -512,11 +594,13 @@ class Tracker:
         frame = frame_from_features(fl, self.cam, ur=ur, depth=depth)
         return self.process_frame(frame, frame_id, plane_det=plane_det, cuboid_det=cuboid_det)
 
-    def process_frame(self, frame: Frame, frame_id: int, plane_det=None, cuboid_det=None):
+    def process_frame(self, frame: Frame, frame_id: int, plane_det=None, cuboid_det=None,
+                      _prestep: Optional[TrackStep] = None):
         """Track one frame.  ``plane_det`` / ``cuboid_det`` are optional
         per-frame semantic detections (semantic/detect.py) consumed at the
         next keyframe (DetectPlane/DetectCuboid run per-KF in the reference,
-        Tracking.cc:1315-1331)."""
+        Tracking.cc:1315-1331).  ``_prestep``: the already-dispatched fused
+        tracking step (process_image hot path)."""
         self._pending_plane_det = plane_det
         self._pending_cuboid_det = cuboid_det
         if self.state == self.NOT_INITIALIZED:
@@ -527,7 +611,7 @@ class Tracker:
         elif self.state == self.LOST:
             self._relocalize(frame, frame_id)
         else:
-            self._track(frame, frame_id)
+            self._track(frame, frame_id, _prestep=_prestep)
         if self.state == self.OK:
             self.trajectory.append((frame_id, np.array(self.T_cur)))
         return np.array(self.T_cur) if self.state == self.OK else None
@@ -697,7 +781,7 @@ class Tracker:
 
     # -- tracking -------------------------------------------------------------
 
-    def _track(self, frame: Frame, frame_id: int):
+    def _track(self, frame: Frame, frame_id: int, _prestep: Optional[TrackStep] = None):
         """Per-frame tracking: ONE fused device program + ONE scalar fetch
         (track_and_decide) and host-side threshold logic.
 
@@ -711,18 +795,21 @@ class Tracker:
         test and measured WORSE on dense scenes (0.16 -> 0.72 ATE), so the
         base radius is kept for all sensors and exposed as a config knob."""
         cfg = self.cfg
-        th_depth = cfg.depth_threshold * self.cam.bf / max(self.cam.fx, 1e-6)
-        out = track_and_decide(
-            self.map, frame, self.T_cur, self.velocity,
-            self.last_kp_pt, self.last_frame.angle, self.last_frame.octave,
-            jnp.int32(self.ref_kf), self.cam,
-            cfg.tracking.search_radius_motion,
-            cfg.tracking.search_radius_localmap,
-            cfg.tracking.min_track_motion,
-            th_depth,
-            n_local=cfg.caps.local_ba_points,
-            n_local_kfs=cfg.tracking.max_local_keyframes,
-        )
+        if _prestep is not None:
+            out = _prestep
+        else:
+            th_depth = cfg.depth_threshold * self.cam.bf / max(self.cam.fx, 1e-6)
+            out = track_and_decide(
+                self.map, frame, self.T_cur, self.velocity,
+                self.last_kp_pt, self.last_frame.angle, self.last_frame.octave,
+                jnp.int32(self.ref_kf), self.cam,
+                cfg.tracking.search_radius_motion,
+                cfg.tracking.search_radius_localmap,
+                cfg.tracking.min_track_motion,
+                th_depth,
+                n_local=cfg.caps.local_ba_points,
+                n_local_kfs=cfg.tracking.max_local_keyframes,
+            )
         scalars_np, T_np = jax.device_get((out.scalars, out.T))
         (n_mm, n_rf, used_rf, n_final, n_ref2, n_ref3, n_valid_kf,
          n_close_tracked, n_close_free) = (int(x) for x in scalars_np)

@@ -24,7 +24,7 @@ from ..core.config import SlamConfig
 class SequenceItem:
     frame_id: int
     timestamp: float
-    gray: np.ndarray  # (H, W) float32 [0, 255]
+    gray: np.ndarray  # (H, W) uint8 or float32 [0, 255]
     depth: Optional[np.ndarray] = None  # (H, W) float32 metres, None if mono
     rgb_path: str = ""
     right: Optional[np.ndarray] = None  # (H, W) float32 right image (stereo)
@@ -36,7 +36,10 @@ def _imread_gray(path):
     img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     if img is None:
         raise FileNotFoundError(path)
-    return img.astype(np.float32)
+    # keep uint8: the tracker casts ON DEVICE — a float32 host cast would
+    # quadruple the per-frame host->device transfer (the device tunnel made
+    # this the single largest per-frame cost at 640x480)
+    return img
 
 
 def _imread_depth(path, factor):
