@@ -17,6 +17,7 @@ if os.environ.get("PALLAS_AXON_POOL_IPS"):
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("TPUSLAM_FORCE_LOCAL_BA", "1")
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -13,6 +13,7 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+os.environ.pop("TPUSLAM_FORCE_LOCAL_BA", None)  # this test IS the dist path
 
 import numpy as np  # noqa: E402
 

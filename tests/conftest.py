@@ -17,6 +17,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
+# Pipeline tests run every keyframe BA; as an 8-virtual-device collective on
+# a 2-core host the XLA CPU all-reduce rendezvous (40 s) intermittently
+# hard-aborts the process.  Tests exercise the LOCAL solver by default; the
+# dedicated distribution tests (test_dist/test_shard/test_multiprocess)
+# opt back in explicitly.
+os.environ.setdefault("TPUSLAM_FORCE_LOCAL_BA", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

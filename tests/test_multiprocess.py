@@ -57,6 +57,7 @@ def test_two_process_full_pipeline():
     coord = f"localhost:{_free_port()}"
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
+    env.pop("TPUSLAM_FORCE_LOCAL_BA", None)  # the collective path IS the test
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""
     procs = [

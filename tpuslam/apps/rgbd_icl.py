@@ -45,6 +45,9 @@ def main(argv=None):
     cfg = common.apply_features(cfg, args.features)
     tracker = common.make_tracker(args, cam, cfg, sample_grays=(it.gray for it in ds.frames()))
     prof = Profiler()
+    # hoisted: np.asarray of a device-resident camera matrix inside the frame
+    # loop costs a sync device fetch (~30 ms/frame on the tunnel)
+    K_np = np.asarray(cam.K)
 
     def per_frame(item):
         pdet = cdet = None
@@ -62,7 +65,7 @@ def main(argv=None):
                 cdet = read_offline_cuboids(
                     os.path.join(args.folder, "pred_3d_obj_matched_txt", f"{item.frame_id:04d}_3d_cuboids.txt"),
                     np.linalg.inv(gt[item.frame_id]),
-                    np.asarray(cam.K),
+                    K_np,
                     cfg.caps.max_cuboids_per_frame,
                 )
         return pdet, cdet

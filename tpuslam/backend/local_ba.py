@@ -12,6 +12,7 @@ remap is a scatter — fully jittable, static shapes.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -476,14 +477,15 @@ def run_global_ba(m: ms.MapState, cam, cfg, n_iters: int = 10, n_kf: int = 0):
     )
     w = lm.BAWeights.from_config(cfg.ba)
     n_dev = jax.device_count()
-    if cfg.flags.distributed_ba and jax.process_count() > 1:
+    dist_ok = cfg.flags.distributed_ba and not os.environ.get("TPUSLAM_FORCE_LOCAL_BA")
+    if dist_ok and jax.process_count() > 1:
         from ..dist.ba import default_mesh, multihost_lm_iterations
 
         state_np, chi2s = multihost_lm_iterations(
             default_mesh(), pack.state, pack.data, w, n_iters=n_iters
         )
         state_opt = lm.BAState(*[jnp.asarray(x) for x in state_np])
-    elif cfg.flags.distributed_ba and n_dev > 1:
+    elif dist_ok and n_dev > 1:
         from ..dist.ba import (
             default_mesh, distributed_lm_iterations, pad_factors_for_mesh,
         )
@@ -539,7 +541,8 @@ def run_local_ba(m: ms.MapState, center_kf: int, cam, cfg):
     )
     w = lm.BAWeights.from_config(cfg.ba)
     n_dev = jax.device_count()
-    if cfg.flags.distributed_ba and jax.process_count() > 1:
+    dist_ok = cfg.flags.distributed_ba and not os.environ.get("TPUSLAM_FORCE_LOCAL_BA")
+    if dist_ok and jax.process_count() > 1:
         # multi-host: lift the replicated pack onto the cross-process mesh,
         # solve collectively, gate locally (dist/ba.multihost_local_ba)
         from ..dist.ba import default_mesh, multihost_local_ba
@@ -549,7 +552,7 @@ def run_local_ba(m: ms.MapState, center_kf: int, cam, cfg):
             phase1_iters=cfg.ba.local_ba_iters_phase1,
             phase2_iters=cfg.ba.local_ba_iters_phase2,
         )
-    elif cfg.flags.distributed_ba and n_dev > 1:
+    elif dist_ok and n_dev > 1:
         # production multi-device path: factors shard over the mesh, the
         # normal-equation blocks all-reduce, the Schur solve is replicated
         from ..dist.ba import (

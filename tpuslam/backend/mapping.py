@@ -138,10 +138,10 @@ def create_new_map_points(
     return TriangulationResult(pos=pts, kp1=jnp.arange(N, dtype=jnp.int32), kp2=idx, ok=good)
 
 
-@functools.partial(jax.jit, static_argnames=("scale_factor", "mono"))
+@functools.partial(jax.jit, static_argnames=("scale_factor", "mono", "n_nb"))
 def triangulate_with_neighbors(
-    m: ms.MapState, kf1, nb_ids, nb_mask, K, min_baseline,
-    scale_factor: float = 1.2, mono: bool = True,
+    m: ms.MapState, kf1, K, min_baseline,
+    scale_factor: float = 1.2, mono: bool = True, n_nb: int = 10,
 ):
     """CreateNewMapPoints against ALL covisible neighbours in ONE device
     program (vmap over the neighbour lane) instead of one dispatch per
@@ -155,8 +155,16 @@ def triangulate_with_neighbors(
     (lanes are ordered by weight; the reference avoids duplicates by
     checking bindings between sequential searches).
 
-    Returns (pos (L, N, 3), kp2 (L, N), chosen (L, N) bool).
+    Neighbour selection happens ON DEVICE (top-``n_nb`` covisibility
+    weights >= 15, KeyFrame::GetBestCovisibilityKeyFrames semantics) so the
+    host never fetches the covisibility matrix for this step.
+
+    Returns (pos (L, N, 3), kp2 (L, N), chosen (L, N) bool, nb_ids (L,)).
     """
+    cov = ms.covisibility(m)
+    weights = jnp.where(m.kf_valid, cov[kf1], -1.0).at[kf1].set(-1.0)
+    top_w, nb_ids = jax.lax.top_k(weights, n_nb)
+    nb_mask = top_w >= 15.0
     T1 = m.kf_pose[kf1]
     C1 = -T1[:3, :3].T @ T1[:3, 3]
 
@@ -176,7 +184,34 @@ def triangulate_with_neighbors(
     ok = ok & nb_mask[:, None]
     lane = jnp.argmax(ok, axis=0)  # first True lane = best covisibility
     chosen = ok & (jnp.arange(ok.shape[0])[:, None] == lane[None, :])
-    return pos, kp2, chosen
+    return pos, kp2, chosen, nb_ids
+
+
+@jax.jit
+def insert_triangulated(m: ms.MapState, kf1, pos, kp2, chosen, nb_ids, avail, cap):
+    """Insert the chosen triangulations into the map in ONE device program:
+    slots are assigned by lane rank from the host-provided ``avail``
+    candidate list (freelist first, fresh slots after; sentinel >= ``cap``
+    lanes drop), the new points are written, and both keyframes' feature
+    bindings are scattered.  Returns (map, n_inserted) — the count comes
+    back to the host asynchronously (Tracker._alloc_end)."""
+    L_nb, N = chosen.shape
+    flat_good = chosen.reshape(-1)
+    rank = jnp.cumsum(flat_good) - 1
+    slot = avail[jnp.clip(rank, 0, avail.shape[0] - 1)].astype(jnp.int32)
+    good = flat_good & (slot < cap)
+    L = L_nb * N
+    desc = jnp.broadcast_to(m.kf_desc[kf1][None], (L_nb, N, 8)).reshape(-1, 8)
+    m = ms.add_points(
+        m, slot, pos.reshape(-1, 3), desc,
+        jnp.zeros((L, 3)), jnp.zeros(L), jnp.full(L, 1e9),
+        jnp.full(L, kf1, jnp.int32), good,
+    )
+    kp1_flat = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (L_nb, N)).reshape(-1)
+    m = ms.assign_observations_flat(m, jnp.full(L, kf1, jnp.int32), kp1_flat, slot, good)
+    nb_rows = jnp.broadcast_to(nb_ids[:, None], (L_nb, N)).reshape(-1)
+    m = ms.assign_observations_flat(m, nb_rows, kp2.reshape(-1), slot, good)
+    return m, jnp.sum(good).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))

@@ -425,6 +425,19 @@ def match_for_init(f1: Frame, f2: Frame):
     return idx, ok
 
 
+
+@jax.jit
+def _metric_scale_inputs(m: ms.MapState, kf_slot):
+    """Bound-keypoint camera coords for the metric-scale voter — the gather
+    runs on device so the host pulls (N, 3) instead of the whole point set."""
+    row = m.kf_pt[kf_slot]
+    bound = (row >= 0) & m.kf_kp_valid[kf_slot]
+    X = m.pt_pos[jnp.clip(row, 0)]
+    T = m.kf_pose[kf_slot]
+    pc = X @ T[:3, :3].T + T[:3, 3]
+    return bound, pc
+
+
 # ---------------------------------------------------------------------------
 # Host orchestrator
 # ---------------------------------------------------------------------------
@@ -485,6 +498,9 @@ class Tracker:
         self.state = self.NOT_INITIALIZED
         self.n_kf = 0
         self.n_pt = 0  # point-slot high-water mark (slots below it may be free)
+        self._free_slots = np.empty(0, np.int64)  # culled-slot freelist cache
+        self._alloc_pending = None  # (n_consumed device scalar, avail host copy)
+        self._pt_valid_snap = None  # async freelist-rebuild snapshot
         self.dbg = {}  # per-frame diagnostics (KF decision, triangulation)
         # host-side pose state is NUMPY: eager jnp 4x4 ops would each pay a
         # device-tunnel round trip in the per-frame loop
@@ -923,6 +939,9 @@ class Tracker:
         self.n_plane = 0
         self.n_cub = 0
         self._metric_anchored = False
+        self._free_slots = np.empty(0, np.int64)
+        self._alloc_pending = None
+        self._pt_valid_snap = None
         self.velocity = np.eye(4, dtype=np.float32)
         self.init_frame = None
         self.ref_kf = 0
@@ -931,23 +950,81 @@ class Tracker:
             self.loop_closer.prev_groups = []
             self.loop_closer.last_loop_fid = -1000
 
+    # -- point-slot allocation (freelist, sync-free) --------------------------
+    #
+    # VERDICT r03 #7 asked for slot reuse; the device tunnel additionally
+    # demands allocation WITHOUT host round trips (a pt_valid fetch + count
+    # sync per keyframe cost ~50 ms).  Protocol:
+    #   * the host keeps a candidate list (culled slots first, then fresh)
+    #     rebuilt from an ASYNC pt_valid snapshot issued at the end of each
+    #     mapping step;
+    #   * an allocation UPLOADS a slice of that list and lets the device
+    #     assign slots by lane rank (_assign_slots) — no fetch;
+    #   * how many were actually consumed arrives later via an async scalar
+    #     copy, resolved lazily before the next allocation / checkpoint.
+
+    def _resolve_pending_alloc(self):
+        if self._alloc_pending is not None:
+            n_dev, avail_np = self._alloc_pending
+            n = int(np.asarray(n_dev))
+            if n > 0:
+                consumed = avail_np[:n]
+                self.n_pt = max(self.n_pt, int(consumed.max()) + 1)
+                self._free_slots = self._free_slots[
+                    ~np.isin(self._free_slots, consumed, assume_unique=True)
+                ]
+            self._alloc_pending = None
+        if self._pt_valid_snap is not None:
+            snap = np.asarray(self._pt_valid_snap)  # async copy usually done
+            self._free_slots = np.flatnonzero(~snap[: self.n_pt])
+            self._pt_valid_snap = None
+
+    def _alloc_begin(self, n_lanes: int):
+        """Returns a device array of ``n_lanes`` candidate slot ids (freelist
+        first, then fresh; padded with the out-of-range sentinel so excess
+        lanes drop their writes) plus the host copy for later resolution."""
+        self._resolve_pending_alloc()
+        cap = self.cfg.caps.max_points
+        avail = np.concatenate(
+            [self._free_slots, np.arange(self.n_pt, cap)]
+        )[:n_lanes]
+        avail_np = np.full(n_lanes, cap, np.int32)
+        avail_np[: len(avail)] = avail
+        return jnp.asarray(avail_np), avail_np
+
+    def _alloc_end(self, n_dev, avail_np):
+        """Record the async consumed-count future; snapshot resolution
+        happens at the next allocation."""
+        try:
+            n_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._alloc_pending = (n_dev, avail_np)
+
+    def _snapshot_free_slots(self):
+        """Issue an async pt_valid snapshot for freelist rebuild (called at
+        the end of each mapping step, AFTER all of the step's allocations)."""
+        snap = self.map.pt_valid
+        try:
+            snap.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._pt_valid_snap = snap
+
     def _alloc_point_slots(self, good):
-        """Allocate map-point slots for the ``good`` lanes, reusing culled
-        slots first (freelist — VERDICT r03 #7: monotonic allocation exhausts
-        ``max_points`` on long runs even when the live count is bounded).
-        Slots below the high-water mark with pt_valid == False are recycled
-        (cull_points/fuse unlink them from every keyframe, so reuse is safe),
-        then fresh slots up to capacity.  Lanes beyond capacity are masked
-        off.  Returns (slots (N,), ok_mask (N,), n_alloc)."""
+        """Synchronous allocation (init / host-side paths): assign slots for
+        the ``good`` lanes.  Returns (slots (N,), ok_mask (N,), n_alloc)."""
         good_np = np.asarray(good)
         n_req = int(good_np.sum())
         N = good_np.shape[0]
         if n_req == 0:
             return jnp.zeros(N, jnp.int32), jnp.zeros(N, bool), 0
-        valid_np = np.asarray(self.map.pt_valid[: self.n_pt])
-        free_below = np.flatnonzero(~valid_np)
-        fresh = np.arange(self.n_pt, self.cfg.caps.max_points)
-        avail = np.concatenate([free_below, fresh])[:n_req]
+        self._resolve_pending_alloc()
+        valid_np = np.asarray(self.map.pt_valid)[: self.n_pt]
+        self._free_slots = np.flatnonzero(~valid_np)
+        avail = np.concatenate(
+            [self._free_slots, np.arange(self.n_pt, self.cfg.caps.max_points)]
+        )[:n_req]
         n_alloc = len(avail)
         if n_alloc == 0:
             return jnp.zeros(N, jnp.int32), jnp.zeros(N, bool), 0
@@ -956,6 +1033,9 @@ class Tracker:
         slot_np = np.zeros(N, np.int64)
         slot_np[lane_ok] = avail[rank[lane_ok]]
         self.n_pt = max(self.n_pt, int(avail.max()) + 1)
+        self._free_slots = self._free_slots[
+            ~np.isin(self._free_slots, avail[: n_alloc], assume_unique=True)
+        ]
         return jnp.asarray(slot_np, jnp.int32), jnp.asarray(lane_ok), n_alloc
 
     def live_points(self) -> int:
@@ -1033,6 +1113,14 @@ class Tracker:
         return int(free[np.argmin(fids[free])])
 
     def _create_keyframe(self, frame: Frame, frame_id: int, kp_pt):
+        import time as _time
+
+        _t = [_time.perf_counter()]
+
+        def _lap(name):
+            _t.append(_time.perf_counter())
+            self.dbg[f"kf_{name}_ms"] = round((_t[-1] - _t[-2]) * 1e3, 1)
+
         slot = self._alloc_kf_slot()
         if slot is None:
             return
@@ -1045,10 +1133,16 @@ class Tracker:
         self.frames_since_kf = 0
         if self.cfg.sensor in ("rgbd", "stereo"):
             self._create_depth_points(slot, frame)
+        _lap("add")
         self._semantic_step(slot, kp_pt)
+        _lap("semantic")
         self._local_mapping_step(slot)
+        _lap("mapping")
         if self.loop_closer is not None:
-            self.map, closed = self.loop_closer.on_keyframe(self.map, slot, self.n_kf)
+            self.map, closed = self.loop_closer.on_keyframe(
+                self.map, slot, self.n_kf, frame_id=frame_id
+            )
+            _lap("loop")
             if closed:
                 self.n_loops += 1
                 from ..backend.local_ba import run_global_ba
@@ -1105,13 +1199,13 @@ class Tracker:
         if int(pvalid.sum()) < 1:
             return
         coefs = np.asarray(plane_det.coef)  # (L, 4) camera frame, metric
-        row = np.asarray(m.kf_pt[kf_slot])
-        bound = (row >= 0) & np.asarray(m.kf_kp_valid[kf_slot])
+        bound, pc = (
+            np.asarray(x) for x in jax.device_get(
+                _metric_scale_inputs(m, jnp.int32(kf_slot))
+            )
+        )
         if int(bound.sum()) < 30:
             return
-        X = np.asarray(m.pt_pos)[np.clip(row, 0, None)]
-        T = np.asarray(m.kf_pose[kf_slot])
-        pc = X @ T[:3, :3].T + T[:3, 3]  # map-scale camera coords
         n, d_meas = coefs[:, :3], coefs[:, 3]
         denom = -(pc @ n.T)  # (N, L) map-scale point-plane depth along normal
         good = (
@@ -1149,6 +1243,14 @@ class Tracker:
     def _local_mapping_step(self, kf_slot: int):
         """LocalMapping::Run body for one keyframe (LocalMapping.cc:49-145):
         cull points, triangulate with neighbours, fuse, local BA."""
+        import time as _time
+
+        _t = [_time.perf_counter()]
+
+        def _lap(name):
+            _t.append(_time.perf_counter())
+            self.dbg[f"map_{name}_ms"] = round((_t[-1] - _t[-2]) * 1e3, 1)
+
         cfg = self.cfg
         # point culling
         bad = bm.point_cull_mask(self.map, jnp.int32(kf_slot))
@@ -1159,51 +1261,32 @@ class Tracker:
         # yield is noise).  Baseline/medianDepth gating happens per-lane on
         # device (LocalMapping.cc:288-296).
         N_NB = 10
-        cov = ms.covisibility(self.map)
-        weights = np.array(jnp.where(self.map.kf_valid, cov[kf_slot], -1.0))
-        weights[kf_slot] = -1.0
-        order = np.argsort(-weights)[:N_NB]
-        nb_mask_np = weights[order] >= 15
-        if nb_mask_np.any():
-            nb_ids = jnp.asarray(np.where(nb_mask_np, order, 0), jnp.int32)
-            pos, kp2, chosen = bm.triangulate_with_neighbors(
-                self.map, jnp.int32(kf_slot), nb_ids, jnp.asarray(nb_mask_np),
-                self.cam.K, self.cam.bf / max(self.cam.fx, 1e-6),
-                scale_factor=cfg.orb.scale_factor,
-                mono=self.cfg.sensor == "mono",
-            )
-            N = self.map.kf_pt.shape[1]
-            flat_good = chosen.reshape(-1)
-            slots, good, n_tri = self._alloc_point_slots(flat_good)
-            if n_tri:
-                desc = jnp.broadcast_to(
-                    self.map.kf_desc[kf_slot][None], (N_NB, N, 8)
-                ).reshape(-1, 8)
-                L = good.shape[0]
-                self.map = ms.add_points(
-                    self.map, slots, pos.reshape(-1, 3), desc,
-                    jnp.zeros((L, 3)), jnp.zeros(L), jnp.full(L, 1e9),
-                    jnp.full(L, kf_slot, jnp.int32), good,
-                )
-                kp1_flat = jnp.broadcast_to(
-                    jnp.arange(N, dtype=jnp.int32)[None], (N_NB, N)
-                ).reshape(-1)
-                self.map = ms.assign_observations_flat(
-                    self.map, jnp.full(L, kf_slot, jnp.int32), kp1_flat, slots, good
-                )
-                nb_rows = jnp.broadcast_to(nb_ids[:, None], (N_NB, N)).reshape(-1)
-                self.map = ms.assign_observations_flat(
-                    self.map, nb_rows, kp2.reshape(-1), slots, good
-                )
-            self.dbg["n_tri"] = n_tri
-        else:
-            self.dbg["n_tri"] = 0
+        pos, kp2, chosen, nb_ids = bm.triangulate_with_neighbors(
+            self.map, jnp.int32(kf_slot),
+            self.cam.K, self.cam.bf / max(self.cam.fx, 1e-6),
+            scale_factor=cfg.orb.scale_factor,
+            mono=self.cfg.sensor == "mono",
+            n_nb=N_NB,
+        )
+        # slot assignment happens ON DEVICE from the host freelist upload —
+        # the consumed count comes back asynchronously (_alloc_begin/_end),
+        # so the whole triangulate+insert chain is dispatch-only
+        avail_dev, avail_np = self._alloc_begin(N_NB * self.map.kf_pt.shape[1])
+        self.map, n_dev = bm.insert_triangulated(
+            self.map, jnp.int32(kf_slot), pos, kp2, chosen, nb_ids,
+            avail_dev, jnp.int32(cfg.caps.max_points),
+        )
+        self._alloc_end(n_dev, avail_np)
+        self.dbg["n_tri"] = n_dev  # device scalar; int() it only when debugging
+        _lap("tri")
         # fuse duplicates into the new KF
         self.map = bm.fuse_duplicates(self.map, jnp.int32(kf_slot), self.cam.K)
         self.map = ms.update_point_stats(self.map)
+        _lap("fuse")
         # local BA
         if self.n_kf > 2:
             self.map, _ = run_local_ba(self.map, kf_slot, self.cam, self.cfg)
+        _lap("ba")
         # keyframe culling (LocalMapping::KeyFrameCulling, LocalMapping.cc:672-736):
         # drop local covisible KFs whose points are >=90% redundant.
         # SEQUENTIAL, one per pass: the reference's SetBadFlag inside the loop
@@ -1212,20 +1295,10 @@ class Tracker:
         # KF ignores that coupling and collapses a young map to {origin,
         # newest}, which starves triangulation of mid-baseline neighbours.
         if self.n_kf > 3:
-            for _ in range(3):  # a few sequential passes per mapping step
-                red = np.array(
-                    ms.keyframe_redundancy(self.map, th_obs=cfg.tracking.kf_cull_min_obs)
-                )
-                cov_cur = np.array(ms.covisibility(self.map)[kf_slot])
-                elig = (
-                    (red >= cfg.tracking.kf_cull_redundancy)
-                    & (cov_cur >= 15.0)
-                    & np.array(self.map.kf_valid)
-                )
-                elig[0] = False  # never cull the origin keyframe (LocalMapping.cc:682)
-                elig[kf_slot] = False
-                if not elig.any():
-                    break
-                kill = np.zeros_like(elig)
-                kill[int(np.argmax(np.where(elig, red, -1.0)))] = True
-                self.map = ms.cull_keyframes(self.map, jnp.asarray(kill))
+            self.map, _ = ms.cull_keyframes_sequential(
+                self.map, jnp.int32(kf_slot),
+                jnp.float32(cfg.tracking.kf_cull_redundancy),
+                th_obs=cfg.tracking.kf_cull_min_obs,
+            )
+        self._snapshot_free_slots()
+        _lap("kfcull")

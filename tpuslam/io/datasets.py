@@ -215,20 +215,28 @@ def _read_list(path) -> List[Tuple[float, str]]:
 
 
 def _tum_rows_to_Tcw(rows: np.ndarray) -> np.ndarray:
-    import jax.numpy as jnp
-
-    from ..core import geometry as geo
-
-    out = []
-    for r in rows:
-        t = r[-7:-4]
-        q = r[-4:]
-        R = np.asarray(geo.quat_to_R(jnp.asarray(q, jnp.float32)))
-        T_wc = np.eye(4, dtype=np.float32)
-        T_wc[:3, :3] = R
-        T_wc[:3, 3] = t
-        out.append(np.linalg.inv(T_wc))
-    return np.stack(out)
+    """Vectorized host-side quat -> Tcw: one jnp call per row was one device
+    round trip per GT pose at load time."""
+    t = rows[:, -7:-4].astype(np.float64)
+    q = rows[:, -4:].astype(np.float64)  # (x, y, z, w)
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.empty((len(rows), 3, 3), np.float64)
+    R[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    R[:, 0, 1] = 2 * (x * y - z * w)
+    R[:, 0, 2] = 2 * (x * z + y * w)
+    R[:, 1, 0] = 2 * (x * y + z * w)
+    R[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    R[:, 1, 2] = 2 * (y * z - x * w)
+    R[:, 2, 0] = 2 * (x * z - y * w)
+    R[:, 2, 1] = 2 * (y * z + x * w)
+    R[:, 2, 2] = 1 - 2 * (x * x + y * y)
+    # Tcw = inv(Twc) = [R^T | -R^T t]
+    out = np.tile(np.eye(4, dtype=np.float32), (len(rows), 1, 1))
+    Rt = R.transpose(0, 2, 1)
+    out[:, :3, :3] = Rt
+    out[:, :3, 3] = -np.einsum("nij,nj->ni", Rt, t)
+    return out
 
 
 def load_settings_yaml(path: str):

@@ -302,6 +302,38 @@ def keyframe_redundancy(m: MapState, th_obs: int = 3, scale_slack: int = 1,
     return jnp.where(n_obs > 0, n_red / jnp.maximum(n_obs, 1.0), 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("th_obs", "max_passes"))
+def cull_keyframes_sequential(m: MapState, center_kf, redundancy_th,
+                              th_obs: int = 3, max_passes: int = 3):
+    """Up to ``max_passes`` SEQUENTIAL KeyFrameCulling passes in ONE device
+    program (LocalMapping.cc:672-736): each pass recomputes redundancy (the
+    reference's SetBadFlag updates observation counts mid-loop, so culling
+    one keyframe lowers the others' redundancy), kills the single most
+    redundant eligible keyframe, and stops early when none qualifies.
+    Returns (map, n_culled)."""
+    K = m.kf_pose.shape[0]
+
+    def body(carry, _):
+        m, done, n = carry
+        red = keyframe_redundancy(m, th_obs=th_obs)
+        cov_row = covisibility(m)[center_kf]
+        elig = (
+            (red >= redundancy_th) & (cov_row >= 15.0) & m.kf_valid
+        )
+        elig = elig.at[0].set(False).at[center_kf].set(False)
+        any_elig = jnp.any(elig) & ~done
+        victim = jnp.argmax(jnp.where(elig, red, -1.0))
+        kill = jnp.zeros(K, bool).at[victim].set(any_elig)
+        m2 = cull_keyframes(m, kill)
+        m = jax.tree.map(lambda a, b: jnp.where(any_elig, b, a), m, m2)
+        return (m, done | ~any_elig, n + any_elig.astype(jnp.int32)), None
+
+    (m, _, n), _ = jax.lax.scan(
+        body, (m, jnp.asarray(False), jnp.int32(0)), None, length=max_passes
+    )
+    return m, n
+
+
 def cull_keyframes(m: MapState, kill_mask):
     """Remove keyframes (KeyFrame::SetBadFlag analogue): invalidate the rows
     and drop their point observations.  Points keep their positions —

@@ -47,6 +47,20 @@ from ..backend.posegraph import (
 from . import vocab as vb
 
 
+@jax.jit
+def _loop_candidate_stats(m: ms.MapState, bow, kf_slot):
+    """Device-side batch of everything the loop detector's gating needs:
+    (bow scores (K,), shared-word counts (K,), covisibility row of the new
+    KF (K,), kf_valid, kf_frame_id) — one dispatch, one small fetch."""
+    cov = ms.covisibility(m)
+    scores = vb.bow_scores(bow, m.kf_bow, m.kf_valid)
+    common = jnp.sum((m.kf_bow > 0) & (bow > 0)[None, :], axis=1).astype(jnp.float32)
+    return scores, common, cov[kf_slot], m.kf_valid, m.kf_frame_id
+
+
+_jitted_covisibility = jax.jit(ms.covisibility)
+
+
 class LoopCloser:
     """Host-side loop-closing stage; call :meth:`on_keyframe` after each
     keyframe insertion with the current map snapshot."""
@@ -61,21 +75,26 @@ class LoopCloser:
         self.last_loop_fid = -1000  # FRAME id of the last closed loop
         self.n_loops_closed = 0
 
-    def on_keyframe(self, m: ms.MapState, kf_slot: int, n_kf: int):
-        """Returns (map, loop_closed: bool)."""
+    def on_keyframe(self, m: ms.MapState, kf_slot: int, n_kf: int,
+                    frame_id: int = -1):
+        """Returns (map, loop_closed: bool).  ``frame_id``: the new KF's
+        source frame id (saves a device fetch; read from the map if -1)."""
         cfg = self.cfg
         m, bow = vb.update_kf_bow(self.vocab, m, kf_slot)
-        fids = np.asarray(m.kf_frame_id)
-        cur_fid = int(fids[kf_slot])
+        cur_fid = int(m.kf_frame_id[kf_slot]) if frame_id < 0 else int(frame_id)
         # temporal gates use FRAME ids, not slot ids: keyframe slots are
         # reused after culling, so slot order is not temporal order
         if n_kf < 10 or cur_fid - self.last_loop_fid < 10:
             return m, False
 
-        cov = np.array(ms.covisibility(m))
-        kf_valid = np.array(m.kf_valid)
-        cov_row = cov[kf_slot]
-        scores = np.array(vb.bow_scores(bow, m.kf_bow, m.kf_valid))
+        # ONE device program + ONE small fetch for all gating statistics
+        # (host-side kf_bow/covisibility pulls cost ~150 ms/KF on the device
+        # tunnel); the full covisibility matrix is fetched only when
+        # candidates survive the gates below
+        scores, common_raw, cov_row, kf_valid, fids = (
+            np.asarray(x)
+            for x in jax.device_get(_loop_candidate_stats(m, bow, jnp.int32(kf_slot)))
+        )
         covisible = cov_row >= 15
         # min score among covisible neighbours (LoopClosing.cc:119-134)
         if covisible.sum() == 0:
@@ -93,16 +112,14 @@ class LoopCloser:
 
         # shared-word gating (KeyFrameDatabase::DetectLoopCandidates):
         # candidates must share > 0.8 * maxCommonWords words with the query
-        pres_q = np.array(bow) > 0
-        pres_db = np.array(m.kf_bow) > 0
-        common = (pres_db & pres_q[None, :]).sum(axis=1).astype(np.float32)
-        common = np.where(pool, common, 0.0)
+        common = np.where(pool, common_raw, 0.0)
         if common.max() <= 0:
             return m, False
         min_common = 0.8 * common.max()
         score_and_match = pool & (common > min_common) & (scores >= max(min_score, 0.01))
         if not score_and_match.any():
             return m, False
+        cov = np.array(_jitted_covisibility(m))
 
         # accumulated covisibility-group scoring (KeyFrameDatabase.cc:90-130):
         # each candidate's score is summed with its top-10 covisible

@@ -35,9 +35,9 @@ class PlaneDetections(NamedTuple):
     @staticmethod
     def empty(l):
         return PlaneDetections(
-            coef=jnp.tile(jnp.array([[0.0, 0.0, 1.0, 1.0]], jnp.float32), (l, 1)),
-            centroid=jnp.zeros((l, 3), jnp.float32),
-            valid=jnp.zeros(l, bool),
+            coef=np.tile(np.array([[0.0, 0.0, 1.0, 1.0]], np.float32), (l, 1)),
+            centroid=np.zeros((l, 3), np.float32),
+            valid=np.zeros(l, bool),
         )
 
 
@@ -56,17 +56,21 @@ class CuboidDetections(NamedTuple):
 
     @staticmethod
     def empty(o):
-        eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (o, 4, 4))
+        """HOST-side (numpy) empty detections: per-frame detector IO must
+        never touch the device — building padded device arrays and pulling
+        them back cost ~8 sync round trips (~200 ms) per frame on a
+        tunnel-attached chip.  Consumers jnp-convert at keyframe time."""
+        eye = np.broadcast_to(np.eye(4, dtype=np.float32), (o, 4, 4)).copy()
         return CuboidDetections(
             local_pose=eye,
-            local_scale=jnp.ones((o, 3), jnp.float32),
-            global_pose=eye,
-            global_scale=jnp.ones((o, 3), jnp.float32),
-            bbox=jnp.zeros((o, 4), jnp.float32),
-            corners=jnp.zeros((o, 16), jnp.float32),
-            classid=jnp.full(o, -1, jnp.int32),
-            quality=jnp.full(o, 0.7, jnp.float32),
-            valid=jnp.zeros(o, bool),
+            local_scale=np.ones((o, 3), np.float32),
+            global_pose=eye.copy(),
+            global_scale=np.ones((o, 3), np.float32),
+            bbox=np.zeros((o, 4), np.float32),
+            corners=np.zeros((o, 16), np.float32),
+            classid=np.full(o, -1, np.int32),
+            quality=np.full(o, 0.7, np.float32),
+            valid=np.zeros(o, bool),
         )
 
 
@@ -105,7 +109,8 @@ def read_offline_planes(path: str, cap: int) -> PlaneDetections:
         coef[i] = c
         cent[i] = rows[i, 5:8]
         valid[i] = True
-    return PlaneDetections(coef=jnp.asarray(coef), centroid=jnp.asarray(cent), valid=jnp.asarray(valid))
+    # host numpy throughout (see CuboidDetections.empty) — consumers convert
+    return PlaneDetections(coef=coef, centroid=cent, valid=valid)
 
 
 _CLASSNAME_IDS: dict = {}
@@ -187,9 +192,8 @@ def read_offline_cuboids(path: str, truth_Twc: np.ndarray, K: np.ndarray, cap: i
     Tcw[:3, 3] = -Twc[:3, :3].T @ Twc[:3, 3]
     Kn = np.asarray(K, np.float32)
     lp, ls, gp, gs, bb, cc, ci, vv = (
-        np.array(det.local_pose), np.array(det.local_scale), np.array(det.global_pose),
-        np.array(det.global_scale), np.array(det.bbox), np.array(det.corners),
-        np.array(det.classid), np.array(det.valid),
+        det.local_pose, det.local_scale, det.global_pose, det.global_scale,
+        det.bbox, det.corners, det.classid, det.valid,
     )
     for i in range(n):
         v9 = rows[i, -9:].astype(np.float32)
@@ -210,8 +214,6 @@ def read_offline_cuboids(path: str, truth_Twc: np.ndarray, K: np.ndarray, cap: i
         ci[i] = classname_to_id(names[i])
         vv[i] = True
     return CuboidDetections(
-        local_pose=jnp.asarray(lp), local_scale=jnp.asarray(ls),
-        global_pose=jnp.asarray(gp), global_scale=jnp.asarray(gs),
-        bbox=jnp.asarray(bb), corners=jnp.asarray(cc),
-        classid=jnp.asarray(ci), quality=det.quality, valid=jnp.asarray(vv),
+        local_pose=lp, local_scale=ls, global_pose=gp, global_scale=gs,
+        bbox=bb, corners=cc, classid=ci, quality=det.quality, valid=vv,
     )
