@@ -188,13 +188,16 @@ def triangulate_with_neighbors(
 
 
 @jax.jit
-def insert_triangulated(m: ms.MapState, kf1, pos, kp2, chosen, nb_ids, avail, cap):
+def insert_triangulated(m: ms.MapState, kf1, pos, kp2, chosen, nb_ids, avail, cap,
+                        fid=None):
     """Insert the chosen triangulations into the map in ONE device program:
     slots are assigned by lane rank from the host-provided ``avail``
     candidate list (freelist first, fresh slots after; sentinel >= ``cap``
     lanes drop), the new points are written, and both keyframes' feature
     bindings are scattered.  Returns (map, n_inserted) — the count comes
-    back to the host asynchronously (Tracker._alloc_end)."""
+    back to the host asynchronously (Tracker._alloc_end).
+
+    ``fid``: the creating frame id (MapPointCulling age stamp)."""
     L_nb, N = chosen.shape
     flat_good = chosen.reshape(-1)
     rank = jnp.cumsum(flat_good) - 1
@@ -206,6 +209,7 @@ def insert_triangulated(m: ms.MapState, kf1, pos, kp2, chosen, nb_ids, avail, ca
         m, slot, pos.reshape(-1, 3), desc,
         jnp.zeros((L, 3)), jnp.zeros(L), jnp.full(L, 1e9),
         jnp.full(L, kf1, jnp.int32), good,
+        first_fid=None if fid is None else jnp.full(L, fid, jnp.int32),
     )
     kp1_flat = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (L_nb, N)).reshape(-1)
     m = ms.assign_observations_flat(m, jnp.full(L, kf1, jnp.int32), kp1_flat, slot, good)
@@ -282,7 +286,7 @@ def fuse_duplicates(m: ms.MapState, kf, K):
 
 
 @jax.jit
-def point_cull_mask(m: ms.MapState, newest_kf):
+def point_cull_mask(m: ms.MapState, fid_recent_min, fid_old_max):
     """Mark bad points (MapPointCulling, LocalMapping.cc:207-242).
 
     The reference culls only RECENTLY CREATED points: candidates live in
@@ -291,13 +295,24 @@ def point_cull_mask(m: ms.MapState, newest_kf):
     found/visible ratio < 0.25 and too few observers at age >= 2 — therefore
     apply only while age <= 3.  Applying the ratio rule to the whole map
     (as a naive batching would) mass-culls mature points whenever tracking
-    quality dips, collapsing the map."""
+    quality dips, collapsing the map.
+
+    Age is measured by CREATION FRAME id (``pt_first_fid``) against two host
+    thresholds — KF slot ids are reused by the freelist and are not temporal
+    (ADVICE r04: slot-based age went negative after reuse and mass-culled
+    mature points):
+
+    * ``fid_recent_min``: frame id of the 4th-newest keyframe — a point
+      created at or after it has age <= 3 (still a cull candidate);
+    * ``fid_old_max``: frame id of the 3rd-newest keyframe — a point created
+      at or before it has age >= 2 (subject to the min-observers rule).
+    """
     obs_count = ms.point_obs_counts(m)
     ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(m.pt_visible, 1).astype(jnp.float32)
-    age = newest_kf - m.pt_first_kf
-    recent = age <= 3
+    recent = (m.pt_first_fid >= fid_recent_min) & (m.pt_first_fid >= 0)
+    old2 = m.pt_first_fid <= fid_old_max
     bad = m.pt_valid & recent & (
         (ratio < 0.25)
-        | ((age >= 2) & (obs_count <= 2))
+        | (old2 & (obs_count <= 2))
     )
     return bad

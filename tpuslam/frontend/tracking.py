@@ -512,6 +512,10 @@ class Tracker:
         self.init_frame_id = -1
         self.ref_kf = 0
         self.frames_since_kf = 0
+        # frame ids of every keyframe ever CREATED (monotonic, culled ones
+        # included) — the temporal ruler for MapPointCulling's age gates;
+        # slot ids are reused by the freelist and are not temporal
+        self._kf_fids: list = []
         self.trajectory: list = []  # (frame_id, Tcw 4x4 np.ndarray)
         self.n_inliers = 0
         self.n_plane = 0
@@ -693,6 +697,7 @@ class Tracker:
             jnp.full(N, 1e9),
             jnp.zeros(N, jnp.int32),
             good,
+            first_fid=jnp.full(N, frame_id, jnp.int32),
         )
         pt_of_kp1 = jnp.where(good, slots, -1).astype(jnp.int32)
         # per-kp2 binding: scatter through match idx
@@ -714,6 +719,7 @@ class Tracker:
         )
         self.n_kf = 2
         self.n_pt += n_new
+        self._kf_fids += [self.init_frame_id, frame_id]
         self._update_bow(0)
         self._update_bow(1)
         self.map = ms.update_point_stats(self.map)
@@ -742,6 +748,7 @@ class Tracker:
             self.map, slots, pts_cam, frame.desc,
             jnp.zeros((N, 3)), jnp.zeros(N), jnp.full(N, 1e9),
             jnp.zeros(N, jnp.int32), good,
+            first_fid=jnp.full(N, frame_id, jnp.int32),
         )
         pt_of_kp = jnp.where(good, slots, -1).astype(jnp.int32)
         self.map = ms.add_keyframe(
@@ -751,6 +758,7 @@ class Tracker:
         )
         self.n_kf = 1
         self.n_pt += n_new
+        self._kf_fids.append(frame_id)
         self._update_bow(0)
         self.map = ms.update_point_stats(self.map)
         self.T_cur = np.eye(4, dtype=np.float32)
@@ -761,7 +769,7 @@ class Tracker:
         self.frames_since_kf = 0
         self.state = self.OK
 
-    def _create_depth_points(self, kf_slot: int, frame: Frame):
+    def _create_depth_points(self, kf_slot: int, frame: Frame, frame_id: int = -1):
         """Create close-depth points for unbound keypoints at keyframe
         creation (Tracking.cc:1395-1455: stereo/RGBD densification).
 
@@ -789,6 +797,7 @@ class Tracker:
             self.map, slots, pts_w, frame.desc,
             jnp.zeros((N, 3)), jnp.zeros(N), jnp.full(N, 1e9),
             jnp.full(N, kf_slot, jnp.int32), free,
+            first_fid=jnp.full(N, frame_id, jnp.int32),
         )
         self.map = ms.assign_observations(
             self.map, jnp.int32(kf_slot), jnp.arange(N, dtype=jnp.int32),
@@ -945,10 +954,13 @@ class Tracker:
         self.velocity = np.eye(4, dtype=np.float32)
         self.init_frame = None
         self.ref_kf = 0
+        self._kf_fids = []
         self.trajectory = []
         if self.loop_closer is not None:
             self.loop_closer.prev_groups = []
             self.loop_closer.last_loop_fid = -1000
+            self.loop_closer.kf_seen = 0
+            self.loop_closer.last_loop_kf_seen = -1000
 
     # -- point-slot allocation (freelist, sync-free) --------------------------
     #
@@ -1131,12 +1143,13 @@ class Tracker:
         )
         self.ref_kf = slot
         self.frames_since_kf = 0
+        self._kf_fids.append(frame_id)
         if self.cfg.sensor in ("rgbd", "stereo"):
-            self._create_depth_points(slot, frame)
+            self._create_depth_points(slot, frame, frame_id)
         _lap("add")
         self._semantic_step(slot, kp_pt)
         _lap("semantic")
-        self._local_mapping_step(slot)
+        self._local_mapping_step(slot, frame_id)
         _lap("mapping")
         if self.loop_closer is not None:
             self.map, closed = self.loop_closer.on_keyframe(
@@ -1240,7 +1253,7 @@ class Tracker:
 
     # -- local mapping (synchronous) -------------------------------------------
 
-    def _local_mapping_step(self, kf_slot: int):
+    def _local_mapping_step(self, kf_slot: int, frame_id: int = -1):
         """LocalMapping::Run body for one keyframe (LocalMapping.cc:49-145):
         cull points, triangulate with neighbours, fuse, local BA."""
         import time as _time
@@ -1252,8 +1265,14 @@ class Tracker:
             self.dbg[f"map_{name}_ms"] = round((_t[-1] - _t[-2]) * 1e3, 1)
 
         cfg = self.cfg
-        # point culling
-        bad = bm.point_cull_mask(self.map, jnp.int32(kf_slot))
+        # point culling: age thresholds from the host's monotonic KF-creation
+        # frame-id list (point_cull_mask docstring; slot ids are not temporal)
+        f = self._kf_fids
+        fid_recent_min = f[-4] if len(f) >= 4 else 0
+        fid_old_max = f[-3] if len(f) >= 3 else -(1 << 30)
+        bad = bm.point_cull_mask(
+            self.map, jnp.int32(fid_recent_min), jnp.int32(fid_old_max)
+        )
         self.map = ms.cull_points(self.map, bad)
         # triangulate against the top covisible neighbours in ONE dispatch
         # (CreateNewMapPoints searches nn=20 best covisible KFs for mono,
@@ -1275,6 +1294,7 @@ class Tracker:
         self.map, n_dev = bm.insert_triangulated(
             self.map, jnp.int32(kf_slot), pos, kp2, chosen, nb_ids,
             avail_dev, jnp.int32(cfg.caps.max_points),
+            fid=jnp.int32(frame_id),
         )
         self._alloc_end(n_dev, avail_np)
         self.dbg["n_tri"] = n_dev  # device scalar; int() it only when debugging

@@ -416,6 +416,14 @@ def _assemble_reproj_blocked(H_cc, H_cl, H_ll, b_c, b_l, r, Jp, Jx, info, wf, pt
 def build_system(state: BAState, data: BAData, w: BAWeights, reproj_n: int = 0):
     """Assemble damped-less normal equations and total robust chi2.
 
+    ``reproj_n > 0`` is an EXPLICIT claim that the mono/stereo factor lanes
+    are kf-major — exactly ``reproj_n`` lanes per keyframe in
+    ``repeat(arange(K), reproj_n)`` order, as produced by
+    ``backend.local_ba.pack_local_ba`` — which selects the scatter-free
+    blocked assembly.  A caller whose lane count does not match gets a hard
+    error rather than a silent fall-back (a coincidentally-divisible
+    non-kf-major layout would corrupt the normal equations, ADVICE r04).
+
     Returns (H_cc, H_cl, H_ll, b_c, b_l, chi2_total).
     """
     K, C, Q, D = _layout(state)
@@ -453,7 +461,12 @@ def build_system(state: BAState, data: BAData, w: BAWeights, reproj_n: int = 0):
     w_rob = fac.huber_weight(chi2, w.chi2_mono)
     wf = w_rob * m.valid
     chi2_total += _rho_sum(chi2, w.chi2_mono, m.valid)
-    if reproj_n and m.kf.shape[0] % reproj_n == 0 and m.kf.shape[0] // reproj_n == K:
+    if reproj_n and m.kf.shape[0] > 1:  # 1 lane == the .empty() placeholder
+        if m.kf.shape[0] != reproj_n * K:
+            raise ValueError(
+                f"reproj_n={reproj_n} claims kf-major mono lanes but "
+                f"{m.kf.shape[0]} != {reproj_n}*{K}"
+            )
         H_cc, H_cl, H_ll, b_c, b_l = _assemble_reproj_blocked(
             H_cc, H_cl, H_ll, b_c, b_l, r, Jp, Jx, info, wf, m.pt, reproj_n, K, P
         )
@@ -494,7 +507,12 @@ def build_system(state: BAState, data: BAData, w: BAWeights, reproj_n: int = 0):
     w_rob = fac.huber_weight(chi2, w.chi2_stereo)
     wf = w_rob * s.valid
     chi2_total += _rho_sum(chi2, w.chi2_stereo, s.valid)
-    if reproj_n and s.kf.shape[0] % reproj_n == 0 and s.kf.shape[0] // reproj_n == K:
+    if reproj_n and s.kf.shape[0] > 1:  # 1 lane == the .empty() placeholder
+        if s.kf.shape[0] != reproj_n * K:
+            raise ValueError(
+                f"reproj_n={reproj_n} claims kf-major stereo lanes but "
+                f"{s.kf.shape[0]} != {reproj_n}*{K}"
+            )
         H_cc, H_cl, H_ll, b_c, b_l = _assemble_reproj_blocked(
             H_cc, H_cl, H_ll, b_c, b_l, r, Jp, Jx, info, wf, s.pt, reproj_n, K, P
         )

@@ -62,6 +62,7 @@ def save_tracker(path: str, tracker) -> None:
         "trajectory": [
             [int(fid), np.asarray(T).tolist()] for fid, T in tracker.trajectory
         ],
+        "kf_fids": [int(f) for f in tracker._kf_fids],
     }
     save_map(path, tracker.map, extra=extra)
 
@@ -90,6 +91,7 @@ def load_tracker(path: str, cam, cfg, vocab=None):
     tracker.trajectory = [
         (fid, np.array(T, np.float32)) for fid, T in extra["trajectory"]
     ]
+    tracker._kf_fids = [int(f) for f in extra.get("kf_fids", [])]
     tracker.state = Tracker.LOST if extra["state"] != Tracker.NOT_INITIALIZED else Tracker.NOT_INITIALIZED
     # never auto-reset a restored map (the tiny-map reset rule,
     # Tracking.cc:620-628, targets failed bootstraps, not resumed sessions)

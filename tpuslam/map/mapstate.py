@@ -45,7 +45,10 @@ class MapState(NamedTuple):
     pt_normal: jnp.ndarray  # (P, 3) mean viewing direction
     pt_min_dist: jnp.ndarray  # (P,) scale-invariance band
     pt_max_dist: jnp.ndarray  # (P,)
-    pt_first_kf: jnp.ndarray  # (P,) int32
+    pt_first_kf: jnp.ndarray  # (P,) int32 creating KF SLOT (anchor lookups)
+    pt_first_fid: jnp.ndarray  # (P,) int32 creating FRAME id (-1 unknown) —
+    # the monotonic creation stamp for MapPointCulling's age gates; slot ids
+    # are reused by the freelist and must never feed temporal logic
     pt_found: jnp.ndarray  # (P,) int32 times matched after prediction
     pt_visible: jnp.ndarray  # (P,) int32 times predicted visible
     # planes (MapPlane.h) -------------------------------------------------
@@ -114,6 +117,7 @@ def empty_map(caps: Capacities) -> MapState:
         pt_min_dist=jnp.zeros(P, jnp.float32),
         pt_max_dist=jnp.full(P, 1e9, jnp.float32),
         pt_first_kf=jnp.zeros(P, jnp.int32),
+        pt_first_fid=jnp.full(P, -1, jnp.int32),
         pt_found=jnp.ones(P, jnp.int32),
         pt_visible=jnp.ones(P, jnp.int32),
         plane_coef=jnp.tile(jnp.array([[0.0, 0.0, 1.0, 1.0]], jnp.float32), (Q, 1)),
@@ -226,11 +230,18 @@ def add_keyframe(m: MapState, slot, pose, frame_id, uv, octave, angle, desc, kp_
     )
 
 
-def add_points(m: MapState, slots, pos, desc, normal, min_dist, max_dist, first_kf, valid):
+def add_points(m: MapState, slots, pos, desc, normal, min_dist, max_dist, first_kf, valid,
+               first_fid=None):
     """Write a batch of new points at ``slots`` (invalid lanes write to a
-    scratch slot ``P-1``... callers must pass slots < capacity and mask)."""
+    scratch slot ``P-1``... callers must pass slots < capacity and mask).
+
+    ``first_fid``: the creating FRAME id per lane (monotonic creation stamp
+    for MapPointCulling's age gates); defaults to -1 = "ancient, never
+    age-culled" for callers that do not run the culling path."""
     P = m.pt_pos.shape[0]
     slots = jnp.where(valid, slots, P)  # out-of-range drops the write
+    if first_fid is None:
+        first_fid = jnp.full_like(first_kf, -1)
     return m._replace(
         pt_pos=_padset(m.pt_pos, slots, pos),
         pt_valid=_padset(m.pt_valid, slots, valid),
@@ -239,6 +250,7 @@ def add_points(m: MapState, slots, pos, desc, normal, min_dist, max_dist, first_
         pt_min_dist=_padset(m.pt_min_dist, slots, min_dist),
         pt_max_dist=_padset(m.pt_max_dist, slots, max_dist),
         pt_first_kf=_padset(m.pt_first_kf, slots, first_kf),
+        pt_first_fid=_padset(m.pt_first_fid, slots, first_fid),
     )
 
 

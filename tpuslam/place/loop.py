@@ -73,6 +73,12 @@ class LoopCloser:
         # — LoopClosing::mvConsistentGroups (LoopClosing.cc:152-211)
         self.prev_groups: list = []
         self.last_loop_fid = -1000  # FRAME id of the last closed loop
+        # monotonic count of keyframes seen by this detector — the refractory
+        # window counts KEYFRAMES like the reference (LoopClosing.cc:
+        # mnId < mLastLoopKFid + 10 compares monotonic KF ids); frame-id
+        # distance would shrink the window by the KF cadence (ADVICE r04)
+        self.kf_seen = 0
+        self.last_loop_kf_seen = -1000
         self.n_loops_closed = 0
 
     def on_keyframe(self, m: ms.MapState, kf_slot: int, n_kf: int,
@@ -82,9 +88,11 @@ class LoopCloser:
         cfg = self.cfg
         m, bow = vb.update_kf_bow(self.vocab, m, kf_slot)
         cur_fid = int(m.kf_frame_id[kf_slot]) if frame_id < 0 else int(frame_id)
-        # temporal gates use FRAME ids, not slot ids: keyframe slots are
-        # reused after culling, so slot order is not temporal order
-        if n_kf < 10 or cur_fid - self.last_loop_fid < 10:
+        # refractory window in KEYFRAMES processed (monotonic; slot ids are
+        # not temporal once the freelist reuses holes, and frame ids would
+        # shrink the reference's 10-KF window by the KF cadence)
+        self.kf_seen += 1
+        if n_kf < 10 or self.kf_seen - self.last_loop_kf_seen < 10:
             return m, False
 
         # ONE device program + ONE small fetch for all gating statistics
@@ -115,8 +123,12 @@ class LoopCloser:
         common = np.where(pool, common_raw, 0.0)
         if common.max() <= 0:
             return m, False
+        # NO absolute score floor: the reference gates only on minScore from
+        # covisible neighbours (LoopClosing.cc:119-150, KeyFrameDatabase.cc:
+        # 55-130).  An absolute floor is unreachable at a trained vocabulary's
+        # score scale and silently kills every candidate (VERDICT r04 #1).
         min_common = 0.8 * common.max()
-        score_and_match = pool & (common > min_common) & (scores >= max(min_score, 0.01))
+        score_and_match = pool & (common > min_common) & (scores >= min_score)
         if not score_and_match.any():
             return m, False
         cov = np.array(_jitted_covisibility(m))
@@ -168,6 +180,7 @@ class LoopCloser:
             S_cl, loop_pts = res
             m = self._correct_loop(m, kf_slot, loop_kf, S_cl, loop_pts, n_kf)
             self.last_loop_fid = cur_fid
+            self.last_loop_kf_seen = self.kf_seen
             self.prev_groups = []
             self.n_loops_closed += 1
             return m, True
@@ -309,8 +322,15 @@ class LoopCloser:
         ca, cb = valid_slots[:-1], valid_slots[1:]
         off = ~np.eye(len(kf_valid), dtype=bool)
         su = np.argwhere(np.triu(strong & kf_valid[:, None] & kf_valid[None, :] & off, 1))
-        ii = np.concatenate([ca, su[:, 0], [kf_loop]]).astype(np.int32)
-        jj = np.concatenate([cb, su[:, 1], [kf_cur]]).astype(np.int32)
+        # deduplicate chain/covisibility pairs (a temporal-chain pair that is
+        # also strongly covisible would otherwise appear twice and be
+        # double-weighted in the pose-graph solve, ADVICE r04)
+        K_all = len(kf_valid)
+        pairs = np.stack([np.concatenate([ca, su[:, 0]]),
+                          np.concatenate([cb, su[:, 1]])], axis=1)
+        packed = np.unique(pairs.min(1) * K_all + pairs.max(1))
+        ii = np.concatenate([packed // K_all, [kf_loop]]).astype(np.int32)
+        jj = np.concatenate([packed % K_all, [kf_cur]]).astype(np.int32)
         E = len(ii)
         ii = jnp.asarray(ii)
         jj = jnp.asarray(jj)
