@@ -46,6 +46,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from tpuslam.utils import compcache
+
+compcache.enable()
+
 from tpuslam.core import geometry as geo
 from tpuslam.core.camera import Camera
 from tpuslam.graph import lm

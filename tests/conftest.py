@@ -29,4 +29,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+from tpuslam.utils import compcache  # noqa: E402
+
+compcache.enable()
 jax.config.update("jax_enable_x64", False)

@@ -18,6 +18,7 @@ decision thresholds of Tracking.cc (min matches, keyframe policy).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -502,6 +503,9 @@ class Tracker:
         self._alloc_pending = None  # (n_consumed device scalar, avail host copy)
         self._pt_valid_snap = None  # async freelist-rebuild snapshot
         self.dbg = {}  # per-frame diagnostics (KF decision, triangulation)
+        self.stage_ms = {}  # cumulative wall ms per keyframe stage (name -> s)
+        # optional per-frame trace file (diagnosis; TPUSLAM_TRACE=<path>)
+        self._trace_path = os.environ.get("TPUSLAM_TRACE", "")
         # host-side pose state is NUMPY: eager jnp 4x4 ops would each pay a
         # device-tunnel round trip in the per-frame loop
         self.velocity = np.eye(4, dtype=np.float32)
@@ -839,15 +843,28 @@ class Tracker:
         (n_mm, n_rf, used_rf, n_final, n_ref2, n_ref3, n_valid_kf,
          n_close_tracked, n_close_free) = (int(x) for x in scalars_np)
         self.dbg.update(n_mm=n_mm, n_rf=n_rf, used_rf=bool(used_rf))
+        if self._trace_path:
+            with open(self._trace_path, "a") as f:
+                f.write(
+                    f"fid={frame_id} n_mm={n_mm} n_rf={n_rf} used_rf={used_rf} "
+                    f"n_final={n_final} n_ref2={n_ref2} n_ref3={n_ref3} "
+                    f"n_valid_kf={n_valid_kf} since_kf={self.frames_since_kf}\n"
+                )
         if used_rf and n_rf < cfg.tracking.min_track_ref:
             if self.localization_only and self._localization_fallback(
                 frame, _np_renorm(self.velocity @ self.T_cur)
             ):
                 return
+            if self._trace_path:
+                with open(self._trace_path, "a") as f:
+                    f.write(f"  LOST fid={frame_id} (motion+ref: n_rf={n_rf})\n")
             self.state = self.LOST
             return
         self.n_inliers = n_final
         if n_final < cfg.tracking.min_track_localmap:
+            if self._trace_path:
+                with open(self._trace_path, "a") as f:
+                    f.write(f"  LOST fid={frame_id} (localmap: n_final={n_final})\n")
             self.state = self.LOST
             return
         self.map = out.m
@@ -861,6 +878,12 @@ class Tracker:
         if self._need_new_keyframe(
             n_final, n_ref2, n_ref3, n_valid_kf, n_close_tracked, n_close_free
         ):
+            if self._trace_path:
+                with open(self._trace_path, "a") as f:
+                    f.write(
+                        f"  KF fid={frame_id} c1a={self.dbg.get('c1a')} "
+                        f"c2={self.dbg.get('c2')} n_ref={self.dbg.get('n_ref')}\n"
+                    )
             self._create_keyframe(frame, frame_id, out.kp_pt)
 
     def _localization_fallback(self, frame: Frame, T_pred) -> bool:
@@ -1131,7 +1154,9 @@ class Tracker:
 
         def _lap(name):
             _t.append(_time.perf_counter())
-            self.dbg[f"kf_{name}_ms"] = round((_t[-1] - _t[-2]) * 1e3, 1)
+            ms_ = (_t[-1] - _t[-2]) * 1e3
+            self.dbg[f"kf_{name}_ms"] = round(ms_, 1)
+            self.stage_ms[f"kf_{name}"] = self.stage_ms.get(f"kf_{name}", 0.0) + ms_
 
         slot = self._alloc_kf_slot()
         if slot is None:
@@ -1262,7 +1287,9 @@ class Tracker:
 
         def _lap(name):
             _t.append(_time.perf_counter())
-            self.dbg[f"map_{name}_ms"] = round((_t[-1] - _t[-2]) * 1e3, 1)
+            ms_ = (_t[-1] - _t[-2]) * 1e3
+            self.dbg[f"map_{name}_ms"] = round(ms_, 1)
+            self.stage_ms[f"map_{name}"] = self.stage_ms.get(f"map_{name}", 0.0) + ms_
 
         cfg = self.cfg
         # point culling: age thresholds from the host's monotonic KF-creation

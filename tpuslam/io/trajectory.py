@@ -90,6 +90,10 @@ def ate_rmse(est_cw, gt_cw, with_scale=True):
 
     c_est = centers(est_cw)
     c_gt = centers(gt_cw)
+    # a stray non-finite pose (diverged BA on a to-be-culled keyframe) must
+    # not abort the whole evaluation: drop those pairs
+    keep = np.isfinite(c_est).all(axis=1) & np.isfinite(c_gt).all(axis=1)
+    c_est, c_gt = c_est[keep], c_gt[keep]
     s, R, t = umeyama_alignment(c_est, c_gt, with_scale)
     aligned = (s * (R @ c_est.T)).T + t
     err = np.linalg.norm(aligned - c_gt, axis=1)

@@ -28,11 +28,20 @@ Re-design of LoopClosing.cc + KeyFrameDatabase.cc:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+_DEBUG_PATH = os.environ.get("TPUSLAM_LOOP_DEBUG", "")
+
+
+def _dbg(msg: str) -> None:
+    if _DEBUG_PATH:
+        with open(_DEBUG_PATH, "a") as f:
+            f.write(msg + "\n")
 
 from ..core import geometry as geo
 from ..kernels import match as km
@@ -117,6 +126,15 @@ class LoopCloser:
         rank[valid_sorted] = np.arange(len(valid_sorted))
         pool = ~covisible & kf_valid & (rank < rank[kf_slot] - 10)
         pool[kf_slot] = False
+        if _DEBUG_PATH:
+            pool_scores = np.where(pool, scores, -1.0)
+            best = int(np.argmax(pool_scores))
+            _dbg(
+                f"fid={cur_fid} kf_seen={self.kf_seen} pool={int(pool.sum())} "
+                f"min_score={min_score:.5f} best_pool_score={pool_scores.max():.5f} "
+                f"best_slot={best} best_fid={int(fids[best]) if pool.any() else -1} "
+                f"common_best={float(np.where(pool, common_raw, 0).max()):.0f}"
+            )
 
         # shared-word gating (KeyFrameDatabase::DetectLoopCandidates):
         # candidates must share > 0.8 * maxCommonWords words with the query
@@ -129,6 +147,7 @@ class LoopCloser:
         # score scale and silently kills every candidate (VERDICT r04 #1).
         min_common = 0.8 * common.max()
         score_and_match = pool & (common > min_common) & (scores >= min_score)
+        _dbg(f"  gate2 n_score_and_match={int(score_and_match.sum())}")
         if not score_and_match.any():
             return m, False
         cov = np.array(_jitted_covisibility(m))
@@ -168,6 +187,10 @@ class LoopCloser:
             if streak >= cfg.loop.covisibility_consistency_th:
                 consistent_enough.append(int(c))
         self.prev_groups = new_groups
+        _dbg(
+            f"  gate3 candidates={candidates.tolist()} "
+            f"streaks={[s for _, s in new_groups]} consistent={consistent_enough}"
+        )
         if not consistent_enough:
             return m, False
 
@@ -175,6 +198,7 @@ class LoopCloser:
         consistent_enough.sort(key=lambda c: -scores[c])
         for loop_kf in consistent_enough[:3]:
             res = self._compute_sim3(m, kf_slot, loop_kf)
+            _dbg(f"  sim3 cand={loop_kf} ok={res is not None}")
             if res is None:
                 continue
             S_cl, loop_pts = res
@@ -208,6 +232,7 @@ class LoopCloser:
             max_dist=50.0, ratio=0.75, mutual=True,
         )
         n_matches = int(ok.sum())
+        _dbg(f"    sim3: desc_matches={n_matches} (need {cfg.loop.min_bow_matches})")
         if n_matches < cfg.loop.min_bow_matches:
             return None
         pt_cur = m.kf_pt[kf_cur]
@@ -222,6 +247,16 @@ class LoopCloser:
             P1, P2, ok, uv1, uv2, self.cam.K, jax.random.PRNGKey(kf_cur),
             n_iters=cfg.loop.sim3_ransac_max_iters,
         )
+        _dbg(f"    sim3: ransac ok={bool(res.ok)} inliers={int(res.n_inliers)}")
+        if _DEBUG_PATH:
+            np.savez(
+                _DEBUG_PATH + f".sim3_{int(m.kf_frame_id[kf_cur])}_{kf_loop}.npz",
+                P1=np.asarray(P1), P2=np.asarray(P2), ok=np.asarray(ok),
+                uv1=np.asarray(uv1), uv2=np.asarray(uv2),
+                K=np.asarray(self.cam.K),
+                T_cur=np.asarray(m.kf_pose[kf_cur]),
+                T_loop=np.asarray(m.kf_pose[kf_loop]),
+            )
         if not bool(res.ok) or int(res.n_inliers) < cfg.loop.min_sim3_inliers:
             return None
         S_cl = jnp.zeros((4, 4))
@@ -233,6 +268,7 @@ class LoopCloser:
             S_cl, P1, P2, uv1, uv2, self.cam.K, res.inliers,
             fix_scale=bool(cfg.sensor != "mono"),
         )
+        _dbg(f"    sim3: gn inliers={int(n_in)}")
         if int(n_in) < cfg.loop.min_sim3_inliers:
             return None
         # guided matching: project the loop-neighbourhood map points into the
@@ -246,6 +282,7 @@ class LoopCloser:
         )
         sim3_kp = inl & ok & (pt_cur >= 0)
         total = int(jnp.sum(kp_proj | sim3_kp))
+        _dbg(f"    sim3: guided total={total} (need {cfg.loop.min_total_matches})")
         if total < cfg.loop.min_total_matches:
             return None
         return S_ref, loop_pts
@@ -353,9 +390,67 @@ class LoopCloser:
         new_poses = jnp.where(m.kf_valid[:, None, None], new_poses, m.kf_pose)
         pts = correct_points_for_sim3(m.pt_pos, anchor, S_start, S_new)
         pts = jnp.where(m.pt_valid[:, None], pts, m.pt_pos)
-        m = m._replace(kf_pose=new_poses, pt_pos=pts)
+        # planes/cuboids follow their latest observer through the TOTAL
+        # correction (pre-loop S_old -> optimized S_new)
+        plane_coef, cub_pose, cub_scale = _correct_semantics_for_sim3(
+            m, S_old, S_new
+        )
+        m = m._replace(
+            kf_pose=new_poses, pt_pos=pts,
+            plane_coef=plane_coef, cub_pose=cub_pose, cub_scale=cub_scale,
+        )
         # refresh descriptors/normals/scale bands after the merge+correction
         return ms.update_point_stats(m)
+
+
+@jax.jit
+def _correct_semantics_for_sim3(m: ms.MapState, S_old, S_new):
+    """Planes and cuboids follow their most recent valid observer keyframe
+    through the loop correction — the semantic analogue of
+    correct_points_for_sim3.  The reference corrects only MapPoints in
+    CorrectLoop (LoopClosing.cc:470-516) and leaves planes/cuboids to the
+    post-loop optimization (Optimizer.cc:1994-2967); initializing them
+    consistently with the corrected trajectory keeps that optimization in
+    the right basin instead of fighting a welded-map-sized residual.
+
+    Returns (plane_coef, cub_pose, cub_scale)."""
+    K = m.kf_valid.shape[0]
+    rows = jnp.arange(K)
+
+    def latest_observer(link, link_valid, n_landmarks):
+        def per_landmark(q):
+            seen = jnp.any((link == q) & link_valid, axis=1) & m.kf_valid
+            return jnp.where(jnp.any(seen), jnp.argmax(jnp.where(seen, rows, -1)), -1)
+
+        return jax.vmap(per_landmark)(jnp.arange(n_landmarks))
+
+    def delta_for(anchor):
+        a = jnp.clip(anchor, 0)
+        return geo.sim3_inv(S_new[a]) @ S_old[a]  # world -> world correction
+
+    # planes: n' = R n,  d' = s d - n'.t  (for x' = sR x + t)
+    pa = latest_observer(m.kf_plane_map, m.kf_plane_valid, m.plane_coef.shape[0])
+    Dp = jax.vmap(delta_for)(pa)
+    sp, Rp, tp = geo.sim3_scale(Dp), geo.sim3_R(Dp), Dp[:, :3, 3]
+    n_new = jnp.einsum("qij,qj->qi", Rp, m.plane_coef[:, :3])
+    d_new = sp * m.plane_coef[:, 3] - jnp.einsum("qi,qi->q", n_new, tp)
+    coef_new = jnp.concatenate([n_new, d_new[:, None]], axis=1)
+    use_p = (m.plane_valid & (pa >= 0))[:, None]
+    plane_coef = jnp.where(use_p, coef_new, m.plane_coef)
+
+    # cuboids: R' = R_d R_o,  t' = sR_d t_o + t_d,  scale' = s * scale
+    ca = latest_observer(m.kf_cub_map, m.kf_cub_valid, m.cub_pose.shape[0])
+    Dc = jax.vmap(delta_for)(ca)
+    sc, Rc = geo.sim3_scale(Dc), geo.sim3_R(Dc)
+    R_new = jnp.einsum("cij,cjk->cik", Rc, m.cub_pose[:, :3, :3])
+    t_new = (
+        jnp.einsum("cij,cj->ci", Dc[:, :3, :3], m.cub_pose[:, :3, 3]) + Dc[:, :3, 3]
+    )
+    pose_new = geo.se3_from_Rt(R_new, t_new)
+    use_c = m.cub_valid & (ca >= 0)
+    cub_pose = jnp.where(use_c[:, None, None], pose_new, m.cub_pose)
+    cub_scale = jnp.where(use_c[:, None], sc[:, None] * m.cub_scale, m.cub_scale)
+    return plane_coef, cub_pose, cub_scale
 
 
 @jax.jit

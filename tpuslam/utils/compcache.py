@@ -1,0 +1,38 @@
+"""Persistent XLA compilation cache setup.
+
+The reference is an ahead-of-time-compiled C++ binary; the JAX analogue of
+"compile once" is the persistent compilation cache.  Every entry point
+(apps, bench, tests) calls :func:`enable` so a fresh process replays a
+sequence without re-paying the 20-40 s XLA compile of the fused tracking
+program and the BA solver buckets.
+
+Opt out with TPUSLAM_NO_COMPILE_CACHE=1; override the location with
+JAX_COMPILATION_CACHE_DIR (honoured by JAX itself before this runs).
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = "/tmp/tpuslam_jax_cache"
+
+
+def enable(path: str | None = None) -> None:
+    if os.environ.get("TPUSLAM_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    cache_dir = (
+        path
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or _DEFAULT_DIR
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # default entry-size gate skips small executables entirely; -1 keeps
+        # everything that passed the compile-time gate
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - never break startup over a cache
+        pass
