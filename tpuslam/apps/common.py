@@ -123,12 +123,18 @@ def build_vocab(args, cfg: SlamConfig, sample_grays=None):
 
         from ..kernels import orb
 
+        # sample frames STRIDED across the whole sequence: a vocabulary
+        # trained on the first seconds only describes one view direction,
+        # which flattens BoW contrast exactly at loop-closure revisits
         descs = []
         for i, gray in enumerate(sample_grays):
-            if i >= 10:
+            if len(descs) >= 48:
                 break
-            f = orb.extract(jnp.asarray(gray, jnp.float32), n_features=cfg.orb.n_features)
-            descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+            if i % 12 == 0:
+                f = orb.extract(
+                    jnp.asarray(gray, jnp.float32), n_features=cfg.orb.n_features
+                )
+                descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
         voc = vb.train_kmeans(np.concatenate(descs), n_words=cfg.caps.vocab_words)
         return voc, cfg
     voc = vb.load_flat_vocabulary(name)
@@ -240,40 +246,44 @@ def _corrected_trajectory(tracker: Tracker):
     multiplies by the ref KF's post-optimization pose, so loop closure and
     global BA retroactively correct the whole saved trajectory).
 
-    Here the relative pose T_i<-j is recovered from the track-time absolute
-    poses of frame i and the nearest preceding live keyframe j (both were
-    expressed in the same map at nearby times, so their relative transform
-    is unaffected by later corrections), then composed with keyframe j's
-    final optimized pose.  Frames whose every nearby keyframe was culled
-    keep their track-time pose."""
+    Each frame's ``traj_rel`` record holds T_cr measured AT TRACK TIME
+    against its then-reference keyframe.  A culled reference resolves by
+    chaining through the reference keyframe's OWN frame record until a
+    still-live keyframe is reached — the spanning-tree walk of
+    System.cc:390-403.  Frames whose chain breaks (relocalization entry,
+    pre-keyframe init frames) keep their track-time absolute pose."""
     traj = tracker.trajectory
     if not traj:
         return []
     kf_valid = np.asarray(tracker.map.kf_valid)
     kf_fid = np.asarray(tracker.map.kf_frame_id)
-    kf_pose = np.asarray(tracker.map.kf_pose)
-    abs_by_fid = {int(fid): T for fid, T in traj}
-    live = sorted(
-        (int(f), int(s))
-        for s, f in enumerate(kf_fid)
-        if kf_valid[s] and int(f) in abs_by_fid and np.isfinite(kf_pose[s]).all()
-    )
-    if not live:
-        return [(int(f), T) for f, T in traj]
-    live_fids = np.array([f for f, _ in live])
+    kf_pose = np.asarray(tracker.map.kf_pose, np.float64)
+    live_slot_by_fid = {
+        int(kf_fid[s]): int(s)
+        for s in np.flatnonzero(kf_valid)
+        if np.isfinite(kf_pose[s]).all()
+    }
+    rel = tracker.traj_rel
     out = []
     for fid, A in traj:
-        k = int(np.searchsorted(live_fids, int(fid), side="right")) - 1
-        if k < 0:
-            k = 0
-        jf, js = live[k]
-        Aj = np.asarray(abs_by_fid[jf], np.float64)
-        Aj_inv = np.eye(4)
-        Aj_inv[:3, :3] = Aj[:3, :3].T
-        Aj_inv[:3, 3] = -Aj[:3, :3].T @ Aj[:3, 3]
-        T = (np.asarray(A, np.float64) @ Aj_inv) @ kf_pose[js]
-        # a corrupt anchor must not poison the trajectory (and the ATE SVD)
-        out.append((int(fid), T if np.isfinite(T).all() else np.asarray(A)))
+        fid = int(fid)
+        T_acc = np.eye(4)
+        cur = fid
+        resolved = None
+        for _ in range(2048):  # chain bound (every step strictly decreases fid)
+            if cur in live_slot_by_fid:
+                resolved = T_acc @ kf_pose[live_slot_by_fid[cur]]
+                break
+            r = rel.get(cur)
+            if r is None:
+                break
+            _, ref_fid, T_cr = r
+            if ref_fid >= cur:  # defensive: no forward/self references
+                break
+            T_acc = T_acc @ np.asarray(T_cr, np.float64)
+            cur = ref_fid
+        T = resolved if resolved is not None and np.isfinite(resolved).all() else np.asarray(A)
+        out.append((fid, T))
     return out
 
 

@@ -334,6 +334,18 @@ def unpack_local_ba(m: ms.MapState, pack: LocalBAPack, state_opt: lm.BAState, da
 
     m = m._replace(kf_pose=kf_pose, pt_pos=pt_pos, kf_pt=kf_pt)
 
+    # points that LOST an observation to the outlier gate and are left with
+    # <= 2 observers die with it (MapPoint::EraseObservation -> SetBadFlag;
+    # the reference's BA erase path, Optimizer.cc:744-760, triggers exactly
+    # this rule) — under-observed survivors are depth-unconstrained and
+    # drift along their rays in later solves
+    lost_global = pack.point_ids[jnp.clip(pack.data.mono.pt, 0, pack.point_ids.shape[0] - 1)]
+    lost_pt = jnp.zeros((P + 1,), bool).at[
+        jnp.where(outlier, lost_global, P)
+    ].set(True)[:P]
+    obs_after = ms.point_obs_counts(m)
+    m = ms.cull_points(m, lost_pt & m.pt_valid & (obs_after <= 2))
+
     # heterogeneous case: planes/cuboids were full-map variables — write back
     # the active ones (Optimizer.cc:2915-2966 cuboid_global_opti write-back)
     if state_opt.planes.shape[0] == m.plane_coef.shape[0]:

@@ -286,6 +286,10 @@ class TrackStep(NamedTuple):
     kp_pt: jnp.ndarray  # (N,) final keypoint -> map point binding
     m: "ms.MapState"  # map with updated found/visible counters
     scalars: jnp.ndarray  # (9,) int32 packed decision scalars (see order below)
+    # reference-KF pose AT TRACK TIME: the frame's pose is recorded RELATIVE
+    # to it (Tracking.cc:637-652 mlRelativeFramePoses) so that save-time
+    # reconstruction composes with the ref KF's post-optimization pose
+    T_ref: jnp.ndarray  # (4, 4)
 
 
 def _track_and_decide_body(
@@ -356,7 +360,7 @@ def _track_and_decide_body(
             n_close_free.astype(jnp.int32),
         ]
     )
-    return TrackStep(T=T2, kp_pt=kp2, m=m, scalars=scalars)
+    return TrackStep(T=T2, kp_pt=kp2, m=m, scalars=scalars, T_ref=m.kf_pose[ref_kf])
 
 
 track_and_decide = functools.partial(
@@ -521,6 +525,15 @@ class Tracker:
         # slot ids are reused by the freelist and are not temporal
         self._kf_fids: list = []
         self.trajectory: list = []  # (frame_id, Tcw 4x4 np.ndarray)
+        # per-frame RELATIVE pose record: fid -> (ref_slot, ref_fid,
+        # T_cr = T_frame @ inv(T_ref) at track time).  The reference stores
+        # exactly this (Tracking.cc:637-652) and reconstructs the saved
+        # trajectory against post-optimization keyframe poses
+        # (System::SaveTrajectoryTUM, System.cc:383-436); culled refs resolve
+        # by chaining through the ref keyframe's OWN frame record — the
+        # spanning-tree walk of System.cc:390-403
+        self.traj_rel: dict = {}
+        self._kf_slot_fid: dict = {}  # slot -> frame id of current occupant
         self.n_inliers = 0
         self.n_plane = 0
         self.n_cub = 0
@@ -724,6 +737,8 @@ class Tracker:
         self.n_kf = 2
         self.n_pt += n_new
         self._kf_fids += [self.init_frame_id, frame_id]
+        self._kf_slot_fid[0] = self.init_frame_id
+        self._kf_slot_fid[1] = frame_id
         self._update_bow(0)
         self._update_bow(1)
         self.map = ms.update_point_stats(self.map)
@@ -763,6 +778,7 @@ class Tracker:
         self.n_kf = 1
         self.n_pt += n_new
         self._kf_fids.append(frame_id)
+        self._kf_slot_fid[0] = frame_id
         self._update_bow(0)
         self.map = ms.update_point_stats(self.map)
         self.T_cur = np.eye(4, dtype=np.float32)
@@ -839,9 +855,14 @@ class Tracker:
                 n_local=cfg.caps.local_ba_points,
                 n_local_kfs=cfg.tracking.max_local_keyframes,
             )
-        scalars_np, T_np = jax.device_get((out.scalars, out.T))
+        scalars_np, T_np, T_ref_np = jax.device_get((out.scalars, out.T, out.T_ref))
         (n_mm, n_rf, used_rf, n_final, n_ref2, n_ref3, n_valid_kf,
          n_close_tracked, n_close_free) = (int(x) for x in scalars_np)
+        ref_fid = self._kf_slot_fid.get(self.ref_kf, -1)
+        if ref_fid >= 0 and np.isfinite(T_ref_np).all():
+            self.traj_rel[frame_id] = (
+                self.ref_kf, ref_fid, T_np @ _np_se3_inv(T_ref_np)
+            )
         self.dbg.update(n_mm=n_mm, n_rf=n_rf, used_rf=bool(used_rf))
         if self._trace_path:
             with open(self._trace_path, "a") as f:
@@ -979,6 +1000,8 @@ class Tracker:
         self.ref_kf = 0
         self._kf_fids = []
         self.trajectory = []
+        self.traj_rel = {}
+        self._kf_slot_fid = {}
         if self.loop_closer is not None:
             self.loop_closer.prev_groups = []
             self.loop_closer.last_loop_fid = -1000
@@ -1169,6 +1192,7 @@ class Tracker:
         self.ref_kf = slot
         self.frames_since_kf = 0
         self._kf_fids.append(frame_id)
+        self._kf_slot_fid[slot] = frame_id
         if self.cfg.sensor in ("rgbd", "stereo"):
             self._create_depth_points(slot, frame, frame_id)
         _lap("add")

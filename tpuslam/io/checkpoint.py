@@ -92,6 +92,12 @@ def load_tracker(path: str, cam, cfg, vocab=None):
         (fid, np.array(T, np.float32)) for fid, T in extra["trajectory"]
     ]
     tracker._kf_fids = [int(f) for f in extra.get("kf_fids", [])]
+    # slot -> frame-id occupancy for relative-pose trajectory recording
+    kf_valid = np.asarray(m.kf_valid)
+    kf_fid = np.asarray(m.kf_frame_id)
+    tracker._kf_slot_fid = {
+        int(s): int(kf_fid[s]) for s in np.flatnonzero(kf_valid)
+    }
     tracker.state = Tracker.LOST if extra["state"] != Tracker.NOT_INITIALIZED else Tracker.NOT_INITIALIZED
     # never auto-reset a restored map (the tiny-map reset rule,
     # Tracking.cc:620-628, targets failed bootstraps, not resumed sessions)

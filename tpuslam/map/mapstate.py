@@ -353,6 +353,14 @@ def cull_keyframes(m: MapState, kill_mask):
     observations the same way; spanning-tree reparenting has no analogue here
     because covisibility is recomputed from the incidence matrix).
 
+    A point that LOSES an observation here and is left with <= 2 observers
+    dies with it — MapPoint::EraseObservation's kill rule (MapPoint.cc:
+    nObs <= 2 -> SetBadFlag).  Without it, keyframe culling strands points
+    with a single observer, and a 1-observation point is depth-unconstrained
+    in BA: it slides freely along its ray, poisoning the map region (measured
+    on the golden replay: the first keyframe's surviving points spread +-16 m
+    along their rays in a 6 m room, which killed every loop-closure Sim3).
+
     Plane/cuboid landmark observation counters are NOT decremented: the
     reference's SetBadFlag (KeyFrame.cc:469-471) erases only MapPoint
     observations, so ``MapPlane``/``MapCuboid`` counters are lifetime
@@ -362,7 +370,13 @@ def cull_keyframes(m: MapState, kill_mask):
     measurement links ARE cleared so a culled keyframe's plane/cuboid
     measurements never feed BA."""
     kill_col = kill_mask[:, None]
-    return m._replace(
+    P = m.pt_pos.shape[0]
+    pt = jnp.clip(m.kf_pt, 0)
+    lost_rows = kill_col & (m.kf_pt >= 0) & m.kf_kp_valid
+    lost = jnp.zeros((P + 1,), bool).at[
+        jnp.where(lost_rows, pt, P)
+    ].set(True)[:P]
+    m = m._replace(
         kf_valid=m.kf_valid & ~kill_mask,
         kf_kp_valid=m.kf_kp_valid & ~kill_col,
         kf_pt=jnp.where(kill_col, -1, m.kf_pt),
@@ -374,6 +388,8 @@ def cull_keyframes(m: MapState, kill_mask):
         kf_cub_map=jnp.where(kill_col, -1, m.kf_cub_map),
         kf_kp_cub=jnp.where(kill_col, -1, m.kf_kp_cub),
     )
+    obs_after = point_obs_counts(m)
+    return cull_points(m, lost & m.pt_valid & (obs_after <= 2))
 
 
 def replace_point(m: MapState, old_id, new_id):

@@ -115,16 +115,16 @@ class LoopCloser:
         covisible = cov_row >= 15
         # min score among covisible neighbours (LoopClosing.cc:119-134)
         if covisible.sum() == 0:
+            self.prev_groups = []
             return m, False
         min_score = float(scores[covisible].min())
-        K = scores.shape[0]
-        # temporally distant = at least 10 keyframes older in FRAME-id order
-        # (slot numbers are not temporal once the slot freelist reuses holes)
-        valid_sorted = np.flatnonzero(kf_valid)
-        valid_sorted = valid_sorted[np.argsort(fids[valid_sorted])]
-        rank = np.full(K, 1 << 30)
-        rank[valid_sorted] = np.arange(len(valid_sorted))
-        pool = ~covisible & kf_valid & (rank < rank[kf_slot] - 10)
+        # candidate pool: every valid NON-COVISIBLE keyframe — the
+        # reference's only structural exclusion (KeyFrameDatabase::
+        # DetectLoopCandidates skips spConnectedKeyFrames, KeyFrameDatabase
+        # .cc:55-80; there is no temporal-distance gate — the 10-KF rule is
+        # the post-closure refractory handled above).  An extra temporal gate
+        # emptied the pool whenever keyframe culling kept the live set small
+        pool = ~covisible & kf_valid
         pool[kf_slot] = False
         if _DEBUG_PATH:
             pool_scores = np.where(pool, scores, -1.0)
@@ -138,8 +138,13 @@ class LoopCloser:
 
         # shared-word gating (KeyFrameDatabase::DetectLoopCandidates):
         # candidates must share > 0.8 * maxCommonWords words with the query
+        # candidate-less detections CLEAR the consistency groups
+        # (LoopClosing.cc:160-166: vpCandidateKFs.empty() -> mvConsistentGroups
+        # .clear()); keeping them lets stale streaks span arbitrary gaps and
+        # promotes sporadic false matches to "consistent" candidates
         common = np.where(pool, common_raw, 0.0)
         if common.max() <= 0:
+            self.prev_groups = []
             return m, False
         # NO absolute score floor: the reference gates only on minScore from
         # covisible neighbours (LoopClosing.cc:119-150, KeyFrameDatabase.cc:
@@ -149,6 +154,7 @@ class LoopCloser:
         score_and_match = pool & (common > min_common) & (scores >= min_score)
         _dbg(f"  gate2 n_score_and_match={int(score_and_match.sum())}")
         if not score_and_match.any():
+            self.prev_groups = []
             return m, False
         cov = np.array(_jitted_covisibility(m))
 
