@@ -293,11 +293,19 @@ def finish(tracker: Tracker, args, frame_times, gt=None, stamps_by_fid=None, met
     System.cc:341-549, and the timing print, mono_icl_test.cc:134-151)."""
     out = args.out
     os.makedirs(out, exist_ok=True)
+    tracker.flush()  # resolve the in-flight pipelined frame
     corrected = _corrected_trajectory(tracker)
     fids = [fid for fid, _ in corrected]
     poses = [p for _, p in corrected]
     stamps = [stamps_by_fid[f] for f in fids] if stamps_by_fid else fids
     save_tum(os.path.join(out, "KeyFrameTrajectory.txt"), stamps, poses)
+    # raw track-time trajectory alongside (diagnostic: how much the
+    # save-time reconstruction moved each frame)
+    save_tum(
+        os.path.join(out, "TrajectoryRaw.txt"),
+        [stamps_by_fid[f] if stamps_by_fid else f for f, _ in tracker.trajectory],
+        [p for _, p in tracker.trajectory],
+    )
     if args.save_kitti:
         save_kitti(os.path.join(out, "CameraTrajectory_kitti.txt"), poses)
     if tracker.n_cub > 0:
@@ -337,7 +345,17 @@ def finish(tracker: Tracker, args, frame_times, gt=None, stamps_by_fid=None, met
         # where the keyframe stall goes (VERDICT r04 weak #4)
         "kf_stage_ms": {
             k: round(v / max(len(tracker._kf_fids), 1), 1)
-            for k, v in sorted(tracker.stage_ms.items())
+            for k, v in sorted(
+                list(tracker.stage_ms.items())
+                + [
+                    (f"loop_{k}", v)
+                    for k, v in (
+                        tracker.loop_closer.stage_ms.items()
+                        if tracker.loop_closer is not None
+                        else []
+                    )
+                ]
+            )
         },
     }
     if gt is not None and corrected:
@@ -353,5 +371,23 @@ def finish(tracker: Tracker, args, frame_times, gt=None, stamps_by_fid=None, met
         if est_raw:
             rmse_raw, _ = ate_rmse(est_raw, gts, with_scale=not metric)
             report["ate_rmse_raw_m"] = float(rmse_raw)
+        # live keyframe poses only — the reference's actual headline metric
+        # (SaveKeyFrameTrajectoryTUM, System.cc:341-380); separates "the
+        # optimized keyframes are good" from "the per-frame reconstruction
+        # chains are good"
+        kf_valid = np.asarray(tracker.map.kf_valid)
+        kf_fid = np.asarray(tracker.map.kf_frame_id)
+        kf_pose = np.asarray(tracker.map.kf_pose)
+        kf_sel = [
+            (int(kf_fid[s]), kf_pose[s])
+            for s in np.flatnonzero(kf_valid)
+            if int(kf_fid[s]) < len(gt) and np.isfinite(kf_pose[s]).all()
+        ]
+        if len(kf_sel) >= 3:
+            kf_rmse, _ = ate_rmse(
+                [p for _, p in kf_sel], [gt[f] for f, _ in kf_sel],
+                with_scale=not metric,
+            )
+            report["kf_ate_rmse_m"] = float(kf_rmse)
     print(json.dumps(report))
     return report

@@ -288,8 +288,12 @@ class TrackStep(NamedTuple):
     scalars: jnp.ndarray  # (9,) int32 packed decision scalars (see order below)
     # reference-KF pose AT TRACK TIME: the frame's pose is recorded RELATIVE
     # to it (Tracking.cc:637-652 mlRelativeFramePoses) so that save-time
-    # reconstruction composes with the ref KF's post-optimization pose
+    # reconstruction computes with the ref KF's post-optimization pose
     T_ref: jnp.ndarray  # (4, 4)
+    # next-frame motion model T_new @ inv(T_prev), computed ON DEVICE so the
+    # next frame's program can be dispatched from this one's outputs without
+    # a host round trip (pipelined tracking)
+    velocity: jnp.ndarray  # (4, 4)
 
 
 def _track_and_decide_body(
@@ -360,7 +364,10 @@ def _track_and_decide_body(
             n_close_free.astype(jnp.int32),
         ]
     )
-    return TrackStep(T=T2, kp_pt=kp2, m=m, scalars=scalars, T_ref=m.kf_pose[ref_kf])
+    return TrackStep(
+        T=T2, kp_pt=kp2, m=m, scalars=scalars, T_ref=m.kf_pose[ref_kf],
+        velocity=T2 @ geo.se3_inv(T_cur),
+    )
 
 
 track_and_decide = functools.partial(
@@ -543,6 +550,20 @@ class Tracker:
         self._pending_cuboid_det = None
         self._resumed = False  # set by io.checkpoint.load_tracker
         self.localization_only = False
+        # ---- pipelined tracking state (process_image hot path) ----------
+        # the in-flight frame: (frame_id, TrackStep, Frame, plane_det,
+        # cuboid_det).  Its device->host fetch is resolved one call later,
+        # so the tunnel round trip overlaps the NEXT frame's dispatch.
+        self._pending = None
+        # device-resident pose/velocity refs for dispatching the next frame
+        # without materializing the previous result on host (None -> use the
+        # host copies self.T_cur / self.velocity)
+        self._dev_T = None
+        self._dev_vel = None
+        # set when self.map was advanced by a side chain (keyframe mapping)
+        # the in-flight program did not see: its counter-updated map must
+        # then NOT be committed over the newer one
+        self._map_fork = False
 
     def set_localization_mode(self, on: bool):
         """System::ActivateLocalizationMode / DeactivateLocalizationMode
@@ -550,6 +571,7 @@ class Tracker:
         keyframes, no mapping, no loop closing; tracking localizes against
         the existing map with a last-frame visual-odometry fallback for
         stereo/RGBD (the reference's mbOnlyTracking + temporal points)."""
+        self.flush()
         self.localization_only = bool(on)
 
     # -- public API ---------------------------------------------------------
@@ -574,8 +596,13 @@ class Tracker:
         # traffic); the jitted programs cast to float32 on device
         gray_j = jnp.asarray(gray)
         if self.state == self.OK:
-            # hot path: extraction fused into the tracking program — one
-            # dispatch, one scalar fetch per tracked frame
+            # hot path, PIPELINED: dispatch this frame's fused program from
+            # the previous frame's DEVICE outputs (pose/velocity/bindings
+            # never touch the host), then resolve the PREVIOUS frame's
+            # already-in-flight fetch.  The per-frame tunnel round trip
+            # overlaps the next dispatch — the tracking/mapping overlap of
+            # the reference's thread pipeline (System.cc:98-122), expressed
+            # as dataflow
             cfg = self.cfg
             th_depth = cfg.depth_threshold * self.cam.bf / max(self.cam.fx, 1e-6)
             has_depth = depth is not None
@@ -584,7 +611,9 @@ class Tracker:
                 else jnp.zeros((1, 1), jnp.float32)
             )
             out, frame = track_image_and_decide(
-                self.map, gray_j, depth_j, self.T_cur, self.velocity,
+                self.map, gray_j, depth_j,
+                self._dev_T if self._dev_T is not None else self.T_cur,
+                self._dev_vel if self._dev_vel is not None else self.velocity,
                 self.last_kp_pt, self.last_frame.angle, self.last_frame.octave,
                 jnp.int32(self.ref_kf), self.cam,
                 cfg.tracking.search_radius_motion,
@@ -596,10 +625,28 @@ class Tracker:
                 has_depth=has_depth,
                 **kw,
             )
-            return self.process_frame(
-                frame, frame_id, plane_det=plane_det, cuboid_det=cuboid_det,
-                _prestep=out,
-            )
+            for a in (out.scalars, out.T, out.T_ref):
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
+            loops_before = self.n_loops
+            ref_at_dispatch = self.ref_kf  # out.T_ref is THIS slot's pose
+            prev_pose = self._finish_pending()
+            if self.state == self.OK and self.n_loops == loops_before:
+                self._pending = (
+                    frame_id, out, frame, plane_det, cuboid_det, ref_at_dispatch
+                )
+                self._dev_T = out.T
+                self._dev_vel = out.velocity
+                self.last_kp_pt = out.kp_pt
+                self.last_frame = frame
+            # else: LOST (next call relocalizes with a fresh frame) or a loop
+            # closure re-based the map mid-flight — the dispatched program
+            # tracked against the pre-correction snapshot, so its outputs are
+            # in the wrong frame; drop them (one untracked frame per closure)
+            return prev_pose
+        self.flush()
         feats = orb.extract(gray_j.astype(jnp.float32), **kw)
         d = ur = None
         if depth is not None:
@@ -613,6 +660,7 @@ class Tracker:
         to get per-keypoint depth, then the common tracking path."""
         from ..kernels import stereo as ks
 
+        self.flush()  # stereo path is synchronous
         self._check_feature_caps()
         o = self.cfg.orb
         kw = dict(
@@ -826,6 +874,80 @@ class Tracker:
 
     # -- tracking -------------------------------------------------------------
 
+    def flush(self):
+        """Resolve the in-flight pipelined frame (if any).  Call before any
+        host-side read of tracker state (trajectory save, checkpoint,
+        localization-mode toggle, sync tracking paths)."""
+        return self._finish_pending()
+
+    def _finish_pending(self):
+        """Fetch + commit the in-flight frame's results: the delayed half of
+        the pipelined hot path (same semantics as _track's post-fetch body,
+        one frame later).  Returns the committed pose or None."""
+        if self._pending is None:
+            return None
+        frame_id, out, frame, plane_det, cuboid_det, ref_at_dispatch = self._pending
+        self._pending = None
+        cfg = self.cfg
+        scalars_np, T_np, T_ref_np = jax.device_get((out.scalars, out.T, out.T_ref))
+        (n_mm, n_rf, used_rf, n_final, n_ref2, n_ref3, n_valid_kf,
+         n_close_tracked, n_close_free) = (int(x) for x in scalars_np)
+        self.dbg.update(n_mm=n_mm, n_rf=n_rf, used_rf=bool(used_rf))
+        if self._trace_path:
+            with open(self._trace_path, "a") as f:
+                f.write(
+                    f"fid={frame_id} n_mm={n_mm} n_rf={n_rf} used_rf={used_rf} "
+                    f"n_final={n_final} n_ref2={n_ref2} n_ref3={n_ref3} "
+                    f"n_valid_kf={n_valid_kf} since_kf={self.frames_since_kf}\n"
+                )
+        ref_fid = self._kf_slot_fid.get(ref_at_dispatch, -1)
+        if ref_fid >= 0 and np.isfinite(T_ref_np).all():
+            self.traj_rel[frame_id] = (
+                ref_at_dispatch, ref_fid, T_np @ _np_se3_inv(T_ref_np)
+            )
+        lost = (used_rf and n_rf < cfg.tracking.min_track_ref) or (
+            n_final < cfg.tracking.min_track_localmap
+        )
+        if lost:
+            if self.localization_only and self._localization_fallback(
+                frame, _np_renorm(np.asarray(self.velocity) @ self.T_cur)
+            ):
+                self.trajectory.append((int(frame_id), np.array(self.T_cur)))
+                return np.array(self.T_cur)
+            if self._trace_path:
+                with open(self._trace_path, "a") as f:
+                    f.write(f"  LOST fid={frame_id} (n_rf={n_rf} n_final={n_final})\n")
+            self.state = self.LOST
+            self._dev_T = self._dev_vel = None
+            self._map_fork = False
+            return None
+        self.n_inliers = n_final
+        if not self._map_fork:
+            # commit the counter-updated map; when a keyframe chain advanced
+            # self.map past this program's snapshot, keep the newer map and
+            # drop one frame of found/visible counter updates
+            self.map = out.m
+        self._map_fork = False
+        self.velocity = T_np @ _np_se3_inv(self.T_cur)
+        self.T_cur = T_np
+        self.frames_since_kf += 1
+        if not self.localization_only:
+            self._pending_plane_det = plane_det
+            self._pending_cuboid_det = cuboid_det
+            if self._need_new_keyframe(
+                n_final, n_ref2, n_ref3, n_valid_kf, n_close_tracked, n_close_free
+            ):
+                if self._trace_path:
+                    with open(self._trace_path, "a") as f:
+                        f.write(
+                            f"  KF fid={frame_id} c1a={self.dbg.get('c1a')} "
+                            f"c2={self.dbg.get('c2')} n_ref={self.dbg.get('n_ref')}\n"
+                        )
+                self._create_keyframe(frame, frame_id, out.kp_pt)
+                self._map_fork = True
+        self.trajectory.append((int(frame_id), np.array(self.T_cur)))
+        return np.array(self.T_cur)
+
     def _track(self, frame: Frame, frame_id: int, _prestep: Optional[TrackStep] = None):
         """Per-frame tracking: ONE fused device program + ONE scalar fetch
         (track_and_decide) and host-side threshold logic.
@@ -1002,6 +1124,9 @@ class Tracker:
         self.trajectory = []
         self.traj_rel = {}
         self._kf_slot_fid = {}
+        self._pending = None
+        self._dev_T = self._dev_vel = None
+        self._map_fork = False
         if self.loop_closer is not None:
             self.loop_closer.prev_groups = []
             self.loop_closer.last_loop_fid = -1000

@@ -47,6 +47,8 @@ def load_map(path: str):
 
 def save_tracker(path: str, tracker) -> None:
     """Checkpoint a frontend Tracker: map arrays + host state machine."""
+    if hasattr(tracker, "flush"):
+        tracker.flush()  # resolve the in-flight pipelined frame
     if hasattr(tracker, "_resolve_pending_alloc"):
         tracker._resolve_pending_alloc()  # flush async slot bookkeeping
     extra = {

@@ -89,13 +89,25 @@ class LoopCloser:
         self.kf_seen = 0
         self.last_loop_kf_seen = -1000
         self.n_loops_closed = 0
+        self.stage_ms = {}  # cumulative wall ms per loop-closer sub-stage
 
     def on_keyframe(self, m: ms.MapState, kf_slot: int, n_kf: int,
                     frame_id: int = -1):
         """Returns (map, loop_closed: bool).  ``frame_id``: the new KF's
         source frame id (saves a device fetch; read from the map if -1)."""
+        import time as _time
+
+        _t = [_time.perf_counter()]
+
+        def _lap(name):
+            _t.append(_time.perf_counter())
+            self.stage_ms[name] = (
+                self.stage_ms.get(name, 0.0) + (_t[-1] - _t[-2]) * 1e3
+            )
+
         cfg = self.cfg
         m, bow = vb.update_kf_bow(self.vocab, m, kf_slot)
+        _lap("bow")
         cur_fid = int(m.kf_frame_id[kf_slot]) if frame_id < 0 else int(frame_id)
         # refractory window in KEYFRAMES processed (monotonic; slot ids are
         # not temporal once the freelist reuses holes, and frame ids would
@@ -112,6 +124,7 @@ class LoopCloser:
             np.asarray(x)
             for x in jax.device_get(_loop_candidate_stats(m, bow, jnp.int32(kf_slot)))
         )
+        _lap("stats")
         covisible = cov_row >= 15
         # min score among covisible neighbours (LoopClosing.cc:119-134)
         if covisible.sum() == 0:
@@ -202,13 +215,16 @@ class LoopCloser:
 
         # try the best-scoring consistent candidate
         consistent_enough.sort(key=lambda c: -scores[c])
+        _lap("gates")
         for loop_kf in consistent_enough[:3]:
             res = self._compute_sim3(m, kf_slot, loop_kf)
             _dbg(f"  sim3 cand={loop_kf} ok={res is not None}")
+            _lap("sim3")
             if res is None:
                 continue
             S_cl, loop_pts = res
             m = self._correct_loop(m, kf_slot, loop_kf, S_cl, loop_pts, n_kf)
+            _lap("correct")
             self.last_loop_fid = cur_fid
             self.last_loop_kf_seen = self.kf_seen
             self.prev_groups = []
@@ -283,7 +299,7 @@ class LoopCloser:
         # gate that keeps false loops from welding the map
         loop_pts = self._loop_neighbourhood_points(m, kf_loop)
         S_cw = S_ref @ m.kf_pose[kf_loop]  # Sim3 world -> current camera
-        kp_proj = _project_and_match(
+        kp_proj, idx_g = _project_and_match(
             m, jnp.int32(kf_cur), loop_pts, S_cw, self.cam.K, radius=10.0
         )
         sim3_kp = inl & ok & (pt_cur >= 0)
@@ -291,6 +307,30 @@ class LoopCloser:
         _dbg(f"    sim3: guided total={total} (need {cfg.loop.min_total_matches})")
         if total < cfg.loop.min_total_matches:
             return None
+        # second refinement on the EXPANDED guided match set — the
+        # reference's SearchBySim3 -> OptimizeSim3 pass (LoopClosing.cc:
+        # 318-330): the initial descriptor-match inliers are few (~25);
+        # welding the map with that thin a Sim3 injects more error than the
+        # drift it removes.  Pairs: cur keypoint's own bound point (current
+        # camera frame) <-> guided-matched loop-neighbourhood point (loop
+        # camera frame)
+        pair_ok = (kp_proj & (pt_cur >= 0)) | sim3_kp
+        pt_loop2 = jnp.where(kp_proj, idx_g.astype(jnp.int32), pt_loop)
+        P1e = geo.se3_apply(m.kf_pose[kf_cur], m.pt_pos[jnp.clip(pt_cur, 0)])
+        P2e = geo.se3_apply(m.kf_pose[kf_loop], m.pt_pos[jnp.clip(pt_loop2, 0)])
+        Kc = self.cam.K
+        z2 = jnp.maximum(P2e[:, 2], 1e-6)
+        uv2e = jnp.stack(
+            [Kc[0, 0] * P2e[:, 0] / z2 + Kc[0, 2],
+             Kc[1, 1] * P2e[:, 1] / z2 + Kc[1, 2]], -1
+        )
+        S_ref2, inl2, n_in2 = optimize_sim3(
+            S_ref, P1e, P2e, uv1, uv2e, self.cam.K, pair_ok,
+            fix_scale=bool(cfg.sensor != "mono"),
+        )
+        _dbg(f"    sim3: refine2 inliers={int(n_in2)}/{int(pair_ok.sum())}")
+        if int(n_in2) >= cfg.loop.min_sim3_inliers:
+            S_ref = S_ref2
         return S_ref, loop_pts
 
     def _correct_loop(self, m: ms.MapState, kf_cur: int, kf_loop: int, S_cl,
@@ -474,4 +514,4 @@ def _project_and_match(m: ms.MapState, kf, src_mask, S_cw, K, radius: float = 10
         m.kf_desc[kf], m.pt_desc, m.kf_kp_valid[kf], visible,
         gate_mask=gate, max_dist=50.0,
     )
-    return ok
+    return ok, idx

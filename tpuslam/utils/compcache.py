@@ -27,6 +27,14 @@ def enable(path: str | None = None) -> None:
         or os.environ.get("JAX_COMPILATION_CACHE_DIR")
         or _DEFAULT_DIR
     )
+    if path is None and not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        # separate caches per backend: XLA:CPU AOT entries embed host machine
+        # features and the axon (TPU tunnel) processes run a differently
+        # configured CPU client — sharing one directory triggers
+        # machine-feature mismatch warnings / potential SIGILL on reload
+        cache_dir = cache_dir + "_" + (
+            os.environ.get("JAX_PLATFORMS") or "axon"
+        ).split(",")[0].strip()
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
