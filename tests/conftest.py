@@ -33,3 +33,21 @@ from tpuslam.utils import compcache  # noqa: E402
 
 compcache.enable()
 jax.config.update("jax_enable_x64", False)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound in-process XLA executable growth: a full-suite run compiles
+    hundreds of programs and the XLA:CPU client eventually hard-aborts
+    (SIGABRT around test ~99 of 103; round 4 died at ~59).  Dropping the
+    in-memory caches between modules keeps the live executable count small;
+    the persistent on-disk compilation cache (utils/compcache.py) makes the
+    re-compiles cheap."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()

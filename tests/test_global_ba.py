@@ -124,3 +124,36 @@ def test_reanchor_moves_out_of_budget_points():
     # points follow: X' = R^T (R X + t_old) - R^T t_new = X - R^T [0.5,0,0]
     np.testing.assert_allclose(delta[100:NPT, 0], -0.5, atol=1e-4)
     np.testing.assert_allclose(delta[:100], 0.0, atol=1e-6)  # optimized: untouched
+
+
+def test_global_ba_abort_between_chunks():
+    """The mbStopGBA analogue (LoopClosing.cc:410-429): ``should_abort`` is
+    polled between iteration chunks; an abort after the first chunk stops
+    early and still writes back the partially optimized state."""
+    cfg, m, gt, noisy = build()
+    calls = []
+
+    def abort_after_first():
+        calls.append(1)
+        return True
+
+    m2, chi2s = run_global_ba(
+        m, CAM, cfg, n_iters=10, n_kf=NKF,
+        should_abort=abort_after_first, chunk=2,
+    )
+    # polled exactly once (after the first chunk), so only one chunk ran
+    assert len(calls) == 1
+    assert np.asarray(chi2s).shape[0] == 2
+    # the partial result was applied: poses moved toward ground truth
+    err0 = np.linalg.norm(np.asarray(m.kf_pose)[1:, :3, 3] - gt[1:, :3, 3], axis=1).mean()
+    err1 = np.linalg.norm(np.asarray(m2.kf_pose)[1:, :3, 3] - gt[1:, :3, 3], axis=1).mean()
+    assert err1 < err0
+
+    # no abort -> all chunks run, should_abort polled between each
+    calls2 = []
+    m3, chi2s3 = run_global_ba(
+        m, CAM, cfg, n_iters=10, n_kf=NKF,
+        should_abort=lambda: (calls2.append(1), False)[1], chunk=2,
+    )
+    assert np.asarray(chi2s3).shape[0] == 10
+    assert len(calls2) == 4

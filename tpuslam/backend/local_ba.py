@@ -456,7 +456,8 @@ def _reanchor_points(m: ms.MapState, poses_old, skip_mask):
     return m._replace(pt_pos=jnp.where(move[:, None], X_new, m.pt_pos))
 
 
-def run_global_ba(m: ms.MapState, cam, cfg, n_iters: int = 10, n_kf: int = 0):
+def run_global_ba(m: ms.MapState, cam, cfg, n_iters: int = 10, n_kf: int = 0,
+                  should_abort=None, chunk: int = 5):
     """Full-map BA after a loop closure (RunGlobalBundleAdjustment,
     LoopClosing.cc:645-749 — synchronous here, on the functional snapshot).
 
@@ -467,7 +468,15 @@ def run_global_ba(m: ms.MapState, cam, cfg, n_iters: int = 10, n_kf: int = 0):
     refine the whole trajectory.  Should the point budget ever truncate
     (misconfigured caps), it is logged and the remainder is re-anchored
     through its reference keyframe — dropping observations instead would
-    un-constrain their keyframes and measurably DEGRADE the solve."""
+    un-constrain their keyframes and measurably DEGRADE the solve.
+
+    ``should_abort``: optional zero-arg callable polled between iteration
+    chunks of ``chunk`` LM iterations — the reference's ``mbStopGBA``
+    interrupt (LoopClosing.cc:410-429: a new loop closure aborts the
+    running GBA and restarts it on the corrected map).  On abort the
+    partially optimized state IS written back (the reference likewise
+    applies whatever the aborted g2o run produced when it was not told to
+    discard it); the caller restarts GBA on the new snapshot."""
     import logging
 
     caps = cfg.caps
@@ -506,6 +515,20 @@ def run_global_ba(m: ms.MapState, cam, cfg, n_iters: int = 10, n_kf: int = 0):
         state_opt, chi2s = distributed_lm_iterations(
             default_mesh(), pack.state, data_p, w, n_iters=n_iters
         )
+    elif should_abort is not None:
+        # chunked solve with an abort poll between chunks (mbStopGBA)
+        state_opt = pack.state
+        chi2s = jnp.zeros((0,))
+        done = 0
+        while done < n_iters:
+            step = min(chunk, n_iters - done)
+            state_opt, c = _jitted_lm_iterations(
+                state_opt, pack.data, w, step, reproj_n=m.kf_pt.shape[1]
+            )
+            chi2s = jnp.concatenate([chi2s, c])
+            done += step
+            if done < n_iters and should_abort():
+                break
     else:
         state_opt, chi2s = _jitted_lm_iterations(
             pack.state, pack.data, w, n_iters, reproj_n=m.kf_pt.shape[1]

@@ -103,6 +103,12 @@ class BAConfig:
     local_ba_iters_phase1: int = 5  # LocalBundleAdjustment (Optimizer.cc:700+)
     local_ba_iters_phase2: int = 10
     global_ba_iters: int = 10  # RunGlobalBundleAdjustment (LoopClosing.cc:650)
+    # wall-time budget for the post-loop global BA, seconds (0 = unlimited).
+    # The reference runs GBA in an abortable thread (mbStopGBA, LoopClosing
+    # .cc:410-429); the synchronous pipeline instead bounds it in time via
+    # run_global_ba's chunked should_abort hook so one closure cannot stall
+    # the frame loop indefinitely
+    gba_time_budget_s: float = 0.0
 
     # Heterogeneous BA weights — Parameters.cc:55-75
     ba_weight_bbox: float = 1.0

@@ -1334,7 +1334,30 @@ class Tracker:
                 self.n_loops += 1
                 from ..backend.local_ba import run_global_ba
 
-                self.map, _ = run_global_ba(self.map, self.cam, self.cfg, n_kf=self.n_kf)
+                budget = self.cfg.ba.gba_time_budget_s
+                abort = None
+                if budget > 0:
+                    _t0 = _time.perf_counter()
+                    abort = lambda: _time.perf_counter() - _t0 > budget
+                # acceptance guard: a GBA fed an imprecise weld can flag
+                # most observations as outliers, and the <=2-observation
+                # kill then cascades through the map (measured: 1011 -> 1
+                # live points on a golden-loop closure).  The reference
+                # tolerates this because its GBA only updates poses/points
+                # and never erases observations (LoopClosing.cc:676-737);
+                # here the essential-graph-corrected map is kept instead
+                # when the GBA's outlier gate guts the point set
+                pre_gba = self.map
+                pre_live = int(np.asarray(pre_gba.pt_valid).sum())
+                post_map, _ = run_global_ba(
+                    self.map, self.cam, self.cfg, n_kf=self.n_kf,
+                    should_abort=abort,
+                )
+                post_live = int(np.asarray(post_map.pt_valid).sum())
+                if post_live >= 0.5 * pre_live:
+                    self.map = post_map
+                else:
+                    self.dbg["gba_rejected"] = (pre_live, post_live)
                 self.T_cur = np.asarray(self.map.kf_pose[slot])
                 self.velocity = np.eye(4, dtype=np.float32)
         self.last_kp_pt = self.map.kf_pt[slot]

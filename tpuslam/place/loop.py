@@ -307,30 +307,14 @@ class LoopCloser:
         _dbg(f"    sim3: guided total={total} (need {cfg.loop.min_total_matches})")
         if total < cfg.loop.min_total_matches:
             return None
-        # second refinement on the EXPANDED guided match set — the
-        # reference's SearchBySim3 -> OptimizeSim3 pass (LoopClosing.cc:
-        # 318-330): the initial descriptor-match inliers are few (~25);
-        # welding the map with that thin a Sim3 injects more error than the
-        # drift it removes.  Pairs: cur keypoint's own bound point (current
-        # camera frame) <-> guided-matched loop-neighbourhood point (loop
-        # camera frame)
-        pair_ok = (kp_proj & (pt_cur >= 0)) | sim3_kp
-        pt_loop2 = jnp.where(kp_proj, idx_g.astype(jnp.int32), pt_loop)
-        P1e = geo.se3_apply(m.kf_pose[kf_cur], m.pt_pos[jnp.clip(pt_cur, 0)])
-        P2e = geo.se3_apply(m.kf_pose[kf_loop], m.pt_pos[jnp.clip(pt_loop2, 0)])
-        Kc = self.cam.K
-        z2 = jnp.maximum(P2e[:, 2], 1e-6)
-        uv2e = jnp.stack(
-            [Kc[0, 0] * P2e[:, 0] / z2 + Kc[0, 2],
-             Kc[1, 1] * P2e[:, 1] / z2 + Kc[1, 2]], -1
-        )
-        S_ref2, inl2, n_in2 = optimize_sim3(
-            S_ref, P1e, P2e, uv1, uv2e, self.cam.K, pair_ok,
-            fix_scale=bool(cfg.sensor != "mono"),
-        )
-        _dbg(f"    sim3: refine2 inliers={int(n_in2)}/{int(pair_ok.sum())}")
-        if int(n_in2) >= cfg.loop.min_sim3_inliers:
-            S_ref = S_ref2
+        # NOTE: a second refinement over the guided (keypoint -> map point)
+        # matches was tried here as the analogue of the reference's
+        # SearchBySim3 -> OptimizeSim3 pass (LoopClosing.cc:318-330) and
+        # measured WORSE on the golden loop (keyframe ATE 0.34 -> 1.38):
+        # guided pairs carry no independent loop-side pixel observation, so
+        # the bidirectional residual's reverse direction is vacuous and the
+        # radius-10 ungated matches drag the estimate.  The descriptor-match
+        # GN refinement above remains the weld estimate.
         return S_ref, loop_pts
 
     def _correct_loop(self, m: ms.MapState, kf_cur: int, kf_loop: int, S_cl,
