@@ -307,14 +307,22 @@ def unpack_local_ba(m: ms.MapState, pack: LocalBAPack, state_opt: lm.BAState, da
     P = m.pt_pos.shape[0]
     W = pack.window_ids.shape[0]
 
-    writable = pack.window_mask & ~data_out.pose_fixed
+    # a diverged solve must never write NaN/Inf into the map: one bad local
+    # BA cascades into total tracking loss on the next frame (every match
+    # against a NaN pose/point fails at once — measured on the points-only
+    # golden replay, LOST at the frame after one keyframe's BA).  Non-finite
+    # lanes keep their pre-BA values.
+    new_poses = geo.se3_renorm(state_opt.poses)
+    pose_ok = jnp.all(jnp.isfinite(new_poses), axis=(1, 2))
+    writable = pack.window_mask & ~data_out.pose_fixed & pose_ok
     kf_slots = jnp.where(writable, pack.window_ids, K)
     kf_pose = jnp.concatenate([m.kf_pose, m.kf_pose[:1]], axis=0)
     # renormalize on write-back: repeated BA passes must not let float32
     # rotation drift accumulate in the stored poses (geometry.se3_renorm)
-    kf_pose = kf_pose.at[kf_slots].set(geo.se3_renorm(state_opt.poses))[:K]
+    kf_pose = kf_pose.at[kf_slots].set(new_poses)[:K]
 
-    pt_slots = jnp.where(pack.point_mask, pack.point_ids, P)
+    pt_ok = jnp.all(jnp.isfinite(state_opt.points), axis=1)
+    pt_slots = jnp.where(pack.point_mask & pt_ok, pack.point_ids, P)
     pt_pos = jnp.concatenate([m.pt_pos, m.pt_pos[:1]], axis=0)
     pt_pos = pt_pos.at[pt_slots].set(state_opt.points)[:P]
 
@@ -349,15 +357,17 @@ def unpack_local_ba(m: ms.MapState, pack: LocalBAPack, state_opt: lm.BAState, da
     # heterogeneous case: planes/cuboids were full-map variables — write back
     # the active ones (Optimizer.cc:2915-2966 cuboid_global_opti write-back)
     if state_opt.planes.shape[0] == m.plane_coef.shape[0]:
-        pa = data_out.plane_active[:, None]
+        pa = (
+            data_out.plane_active & jnp.all(jnp.isfinite(state_opt.planes), axis=1)
+        )[:, None]
         m = m._replace(plane_coef=jnp.where(pa, state_opt.planes, m.plane_coef))
     if state_opt.cuboid_pose.shape[0] == m.cub_pose.shape[0]:
-        ca = data_out.cuboid_active[:, None, None]
+        cub_ok = data_out.cuboid_active & jnp.all(
+            jnp.isfinite(state_opt.cuboid_pose), axis=(1, 2)
+        ) & jnp.all(jnp.isfinite(state_opt.cuboid_scale), axis=1)
         m = m._replace(
-            cub_pose=jnp.where(ca, state_opt.cuboid_pose, m.cub_pose),
-            cub_scale=jnp.where(
-                data_out.cuboid_active[:, None], state_opt.cuboid_scale, m.cub_scale
-            ),
+            cub_pose=jnp.where(cub_ok[:, None, None], state_opt.cuboid_pose, m.cub_pose),
+            cub_scale=jnp.where(cub_ok[:, None], state_opt.cuboid_scale, m.cub_scale),
         )
     return m
 

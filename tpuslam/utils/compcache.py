@@ -28,13 +28,22 @@ def enable(path: str | None = None) -> None:
         or _DEFAULT_DIR
     )
     if path is None and not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        # separate caches per backend: XLA:CPU AOT entries embed host machine
-        # features and the axon (TPU tunnel) processes run a differently
-        # configured CPU client — sharing one directory triggers
-        # machine-feature mismatch warnings / potential SIGILL on reload
-        cache_dir = cache_dir + "_" + (
-            os.environ.get("JAX_PLATFORMS") or "axon"
-        ).split(",")[0].strip()
+        # separate caches per backend AND per XLA_FLAGS: XLA:CPU AOT entries
+        # embed compile-time machine-feature options (+prefer-no-scatter
+        # etc.) that differ between the axon (TPU tunnel) client, plain CPU
+        # runs, and the 8-virtual-device test config — sharing one directory
+        # triggers machine-feature mismatch on reload (warnings at best,
+        # SIGABRT/SIGILL at worst; the round-4 full-suite abort)
+        import hashlib
+
+        tag = hashlib.sha1(
+            os.environ.get("XLA_FLAGS", "").encode()
+        ).hexdigest()[:8]
+        cache_dir = "{}_{}_{}".format(
+            cache_dir,
+            (os.environ.get("JAX_PLATFORMS") or "axon").split(",")[0].strip(),
+            tag,
+        )
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
