@@ -296,16 +296,21 @@ def pack_local_ba(
 
 
 @functools.partial(jax.jit, static_argnames=("stereo_shared",))
-def unpack_local_ba(m: ms.MapState, pack: LocalBAPack, state_opt: lm.BAState, data_out: lm.BAData, stereo_shared: bool = False):
+def unpack_local_ba(m: ms.MapState, pack: LocalBAPack, state_opt: lm.BAState, data_out: lm.BAData, stereo_shared: bool = False, accept=True):
     """Scatter optimized poses/points back into the map; unlink observations
     that were gated as outliers during BA (Optimizer.cc:744-760).
 
     ``stereo_shared``: the packer built a stereo bundle with the same
     (window kf, keypoint) flattening as the mono bundle, so its outliers
-    unlink through the same index map."""
+    unlink through the same index map.
+
+    ``accept``: device scalar bool — False keeps the whole map untouched
+    (a diverged solve; computed from the chi2 trajectory without a host
+    sync)."""
     K, N = m.kf_pt.shape
     P = m.pt_pos.shape[0]
     W = pack.window_ids.shape[0]
+    accept = jnp.asarray(accept)
 
     # a diverged solve must never write NaN/Inf into the map: one bad local
     # BA cascades into total tracking loss on the next frame (every match
@@ -313,7 +318,7 @@ def unpack_local_ba(m: ms.MapState, pack: LocalBAPack, state_opt: lm.BAState, da
     # golden replay, LOST at the frame after one keyframe's BA).  Non-finite
     # lanes keep their pre-BA values.
     new_poses = geo.se3_renorm(state_opt.poses)
-    pose_ok = jnp.all(jnp.isfinite(new_poses), axis=(1, 2))
+    pose_ok = jnp.all(jnp.isfinite(new_poses), axis=(1, 2)) & accept
     writable = pack.window_mask & ~data_out.pose_fixed & pose_ok
     kf_slots = jnp.where(writable, pack.window_ids, K)
     kf_pose = jnp.concatenate([m.kf_pose, m.kf_pose[:1]], axis=0)
@@ -321,7 +326,7 @@ def unpack_local_ba(m: ms.MapState, pack: LocalBAPack, state_opt: lm.BAState, da
     # rotation drift accumulate in the stored poses (geometry.se3_renorm)
     kf_pose = kf_pose.at[kf_slots].set(new_poses)[:K]
 
-    pt_ok = jnp.all(jnp.isfinite(state_opt.points), axis=1)
+    pt_ok = jnp.all(jnp.isfinite(state_opt.points), axis=1) & accept
     pt_slots = jnp.where(pack.point_mask & pt_ok, pack.point_ids, P)
     pt_pos = jnp.concatenate([m.pt_pos, m.pt_pos[:1]], axis=0)
     pt_pos = pt_pos.at[pt_slots].set(state_opt.points)[:P]
@@ -329,7 +334,7 @@ def unpack_local_ba(m: ms.MapState, pack: LocalBAPack, state_opt: lm.BAState, da
     # unlink outlier observations: for factors valid at pack time but gated
     # out during the solve, clear kf_pt at (kf, kp)
     mono_in, mono_packed = data_out.mono.valid, pack.data.mono.valid
-    outlier = mono_packed & ~mono_in
+    outlier = mono_packed & ~mono_in & accept
     if stereo_shared:
         outlier = outlier | (pack.data.stereo.valid & ~data_out.stereo.valid)
     kf_local = jnp.repeat(jnp.arange(W, dtype=jnp.int32), N)
@@ -358,13 +363,14 @@ def unpack_local_ba(m: ms.MapState, pack: LocalBAPack, state_opt: lm.BAState, da
     # the active ones (Optimizer.cc:2915-2966 cuboid_global_opti write-back)
     if state_opt.planes.shape[0] == m.plane_coef.shape[0]:
         pa = (
-            data_out.plane_active & jnp.all(jnp.isfinite(state_opt.planes), axis=1)
+            data_out.plane_active
+            & jnp.all(jnp.isfinite(state_opt.planes), axis=1) & accept
         )[:, None]
         m = m._replace(plane_coef=jnp.where(pa, state_opt.planes, m.plane_coef))
     if state_opt.cuboid_pose.shape[0] == m.cub_pose.shape[0]:
         cub_ok = data_out.cuboid_active & jnp.all(
             jnp.isfinite(state_opt.cuboid_pose), axis=(1, 2)
-        ) & jnp.all(jnp.isfinite(state_opt.cuboid_scale), axis=1)
+        ) & jnp.all(jnp.isfinite(state_opt.cuboid_scale), axis=1) & accept
         m = m._replace(
             cub_pose=jnp.where(cub_ok[:, None, None], state_opt.cuboid_pose, m.cub_pose),
             cub_scale=jnp.where(cub_ok[:, None], state_opt.cuboid_scale, m.cub_scale),
@@ -620,7 +626,16 @@ def run_local_ba(m: ms.MapState, center_kf: int, cam, cfg):
             phase2_iters=cfg.ba.local_ba_iters_phase2,
             reproj_n=m.kf_pt.shape[1],
         )
+    # acceptance: a solve that ENDS with a (much) higher robust chi2 than it
+    # started with has diverged — write-back would corrupt the map (the
+    # reference's g2o LM only ever accepts cost-decreasing steps, so its
+    # write-back is implicitly guarded; one diverged local BA here collapsed
+    # the points-only golden replay to zero matches on the next frame).
+    # Device scalar -> no host sync in the mapping chain.
+    c = jnp.asarray(chi2s)
+    accept = jnp.isfinite(c[-1]) & (c[-1] <= 1.5 * c[0] + 1e-3)
     m = unpack_local_ba(
-        m, pack, state_opt, data_out, stereo_shared=cfg.sensor in ("rgbd", "stereo")
+        m, pack, state_opt, data_out,
+        stereo_shared=cfg.sensor in ("rgbd", "stereo"), accept=accept,
     )
     return m, chi2s
