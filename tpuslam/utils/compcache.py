@@ -18,9 +18,19 @@ _DEFAULT_DIR = "/tmp/tpuslam_jax_cache"
 
 
 def enable(path: str | None = None) -> None:
+    import jax
+
+    # geometry correctness before MXU speed: the TPU's default bf16 matmul
+    # passes are enough to corrupt triangulation/BA on this problem scale —
+    # the points-only golden replay collapses deterministically on TPU and
+    # NOT on CPU with identical code.  SLAM matmuls are small; the fp32
+    # penalty is negligible against the device-tunnel round trip.
+    try:
+        jax.config.update("jax_default_matmul_precision", "float32")
+    except Exception:  # pragma: no cover
+        pass
     if os.environ.get("TPUSLAM_NO_COMPILE_CACHE"):
         return
-    import jax
 
     cache_dir = (
         path
