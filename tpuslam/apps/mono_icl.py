@@ -46,8 +46,10 @@ def main(argv=None):
         # metric plane measurements only cohere with a mono map after a metric
         # scale anchor (reference: enable_ground_height_scale + Camera.height,
         # Tracking.cc:271-281; here the anchor is estimated from the plane
-        # detections themselves, frontend/tracking._update_metric_scale)
-        enable_ground_height_scale=args.planes,
+        # detections themselves, frontend/tracking._update_metric_scale).
+        # TPUSLAM_NO_RESCALE=1 disables it for A/B diagnosis.
+        enable_ground_height_scale=args.planes
+        and not os.environ.get("TPUSLAM_NO_RESCALE"),
     )
     cfg = SlamConfig().replace(sensor="mono", flags=flags)
     cfg = common.apply_features(cfg, args.features)

@@ -1405,6 +1405,15 @@ class Tracker:
         plane depths), no config height needed."""
         tc = self.cfg.tracking
         m = self.map
+        # Scale-anchor policy, A/B-measured on the golden flagship replay
+        # (raw full-trajectory ATE): repeated rescale 0.53, one-shot-only
+        # anchor 0.96 (a bad early estimate is never corrected and the
+        # metric factors then fight the mis-scaled map), rescale disabled
+        # 0.055 but with BA-corrupting metric factors (keyframe ATE 0.71 and
+        # tracking losses).  Repeated rescaling is kept — it is also the
+        # reference's behaviour (every-10-KF ground-height rescale,
+        # Tracking.cc:1335-1393); closing the remaining gap needs scale-drift
+        # handling in BA rather than a different anchor cadence.
         pvalid = np.asarray(plane_det.valid)
         if int(pvalid.sum()) < 1:
             return
